@@ -1,0 +1,82 @@
+"""Per-stage checkpoint/resume layer (SURVEY §4 item 4; north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Each stage writes its output table plus a `_manifest.json` recording the
+stage name, a config hash (covers every upstream parameter and input
+fingerprint), row count, per-partition row counts, and wall time. On
+restart, a stage whose manifest matches its config hash is loaded from disk
+instead of recomputed — a mid-pipeline kill resumes where it left off and
+reproduces byte-identical results (tests/test_resume.py).
+
+Storage is parquet directories (Iceberg jars are not in this image; the
+writer is format-pluggable via `sinks.write_table`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def config_hash(obj) -> str:
+    return hashlib.sha256(
+        json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST)
+
+
+def is_satisfied(path: str, conf_hash: str) -> bool:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as f:
+            m = json.load(f)
+        return m.get("config_hash") == conf_hash and m.get("complete") is True
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def write_stage(df: DataFrame, path: str, stage: str, conf_hash: str) -> dict:
+    """Materialize a stage: parquet + manifest with per-partition counts."""
+    t0 = time.time()
+    df.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    back = spark.read.parquet(path)
+    per_part = (back.withColumn("_p", F.spark_partition_id())
+                .groupBy("_p").count().collect())
+    part_counts = {int(r["_p"]): int(r["count"]) for r in per_part}
+    manifest = {
+        "stage": stage,
+        "config_hash": conf_hash,
+        "rows": int(sum(part_counts.values())),
+        "partition_counts": part_counts,
+        "wall_sec": round(time.time() - t0, 3),
+        "complete": True,
+    }
+    with open(_manifest_path(path), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def stage(spark: SparkSession, path: str, name: str, conf_hash: str,
+          compute, counters: list | None = None) -> DataFrame:
+    """Run-or-resume one stage. `compute` is a thunk returning the DataFrame."""
+    if is_satisfied(path, conf_hash):
+        if counters is not None:
+            with open(_manifest_path(path)) as f:
+                counters.append({**json.load(f), "resumed": True})
+        return spark.read.parquet(path)
+    man = write_stage(compute(), path, name, conf_hash)
+    if counters is not None:
+        counters.append({**man, "resumed": False})
+    return spark.read.parquet(path)

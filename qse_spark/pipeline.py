@@ -1,0 +1,95 @@
+"""End-to-end KG construction pipeline (north-star dataflow):
+
+  transcripts ─ stage 1 ─> raw triples            (extraction.py, mapInPandas)
+              ─ stage 2 ─> entity links           (linking.py, LSH self-join)
+              ─ stage 3 ─> canonical map          (cc.py, large/small-star)
+              ─ stage 4 ─> canonical triples      (broadcast-join + groupBy)
+              ─ stage 5 ─> QSE shape statistics   (stats.py kernel)
+              ─ stage 6 ─> pruned shapes          (shapes.py)
+
+Each stage is independently checkpointed + resumable (checkpoint.py). The
+canonical-ID dictionary is broadcast (it is |distinct mentions|-sized, far
+smaller than the triple table), matching the north rule's "broadcast hash
+joins serve the canonical-ID dictionary".
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import checkpoint as ckpt
+from .constants import TYPE_PREDICATE
+from .operators.cc import canonical_map
+from .operators.extraction import extract_triples, mentions_from_triples
+from .operators.linking import linking_edges
+from .stats import shape_stats
+
+
+@dataclass
+class PipelineConfig:
+    tau: float = 0.55
+    bands: int = 12
+    rows_per_band: int = 3
+    max_block: int = 2000
+    salt: int = 0                      # conversation-salt partitions (0 = off)
+    type_predicate: str = TYPE_PREDICATE
+    thresholds: list = field(default_factory=lambda: [(0.25, 1)])
+
+
+def canonicalize_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Stage 4 — rewrite subject/object mentions to canonical ids and
+    materialize distinct (subject, predicate, object, obj_kind) + cnt.
+
+    Both joins broadcast the canonical dictionary; class labels / literals
+    miss the dictionary and pass through via coalesce (identity mapping)."""
+    s_map = F.broadcast(cmap.select(
+        F.col("mention_id").alias("_sm"), F.col("canonical_id").alias("_sc")))
+    o_map = F.broadcast(cmap.select(
+        F.col("mention_id").alias("_om"), F.col("canonical_id").alias("_oc")))
+    out = (triples
+           .join(s_map, triples["subject"] == s_map["_sm"], "left")
+           .join(o_map, (triples["obj_kind"] == "iri")
+                 & (triples["object"] == o_map["_om"]), "left")
+           .select(F.coalesce("_sc", "subject").alias("subject"),
+                   F.col("predicate"),
+                   F.coalesce("_oc", "object").alias("object"),
+                   F.col("obj_kind")))
+    return (out.groupBy("subject", "predicate", "object", "obj_kind")
+            .agg(F.count("*").alias("cnt")))
+
+
+def run_pipeline(spark: SparkSession, transcripts_path: str,
+                 workdir: str | None = None,
+                 config: PipelineConfig | None = None,
+                 counters: list | None = None) -> dict[str, DataFrame]:
+    """Full run; returns the stage DataFrames. With a workdir, every stage
+    checkpoints and a rerun resumes from the last complete stage."""
+    cfg = config or PipelineConfig()
+    transcripts = spark.read.parquet(transcripts_path)
+
+    def _stage(name, upstream_hash, thunk):
+        if workdir is None:
+            return thunk(), upstream_hash
+        h = ckpt.config_hash([name, upstream_hash, asdict(cfg),
+                              transcripts_path])
+        return ckpt.stage(spark, os.path.join(workdir, name), name, h, thunk,
+                          counters), h
+
+    triples, h1 = _stage("triples", "root", lambda: extract_triples(
+        transcripts, salt=cfg.salt))
+    links, h2 = _stage("links", h1, lambda: linking_edges(
+        mentions_from_triples(triples), tau=cfg.tau, bands=cfg.bands,
+        rows=cfg.rows_per_band, max_block=cfg.max_block))
+    cmap, h3 = _stage("canonical_map", h2, lambda: canonical_map(links))
+    canon, h4 = _stage("canonical_triples", h3,
+                       lambda: canonicalize_triples(triples, cmap))
+    # the canonical table's cnt column feeds the kernel as a multiplicity
+    # weight — no re-expansion of duplicate triples
+    stats, h5 = _stage("shape_stats", h4, lambda: shape_stats(
+        canon, cfg.type_predicate))
+    return {"triples": triples, "links": links, "canonical_map": cmap,
+            "canonical_triples": canon, "shape_stats": stats}
