@@ -1,0 +1,133 @@
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ...,
+   "throughput": {...}, "cpus": N}
+
+Headline: the full KG-construction pipeline (extraction -> LSH linking ->
+CC -> canonicalize -> QSE stats) on the deterministic transcript fixture
+sized for $SPARK_GRAFT_SF_DIR, no stage checkpoints (pure compute), plus
+representative operator queries on the driver-provided tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), QSE_BENCH_TURNS (override fixture size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from qse_spark.operators import dedup, similarity  # noqa: E402
+from qse_spark.oracles import TPCH_TRIPLES_SQL  # noqa: E402
+from qse_spark.pipeline import (PipelineConfig, canonicalize_triples)  # noqa: E402
+from qse_spark.operators.cc import canonical_map  # noqa: E402
+from qse_spark.operators.extraction import (extract_triples,  # noqa: E402
+                                            mentions_from_triples)
+from qse_spark.operators.linking import linking_edges  # noqa: E402
+from qse_spark.session import get_spark  # noqa: E402
+from qse_spark.stats import shape_stats  # noqa: E402
+from qse_spark.testdata import ensure_fixture  # noqa: E402
+
+SF_TURNS = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    n_turns = int(os.environ.get("QSE_BENCH_TURNS",
+                                 SF_TURNS.get(sf_tag, 200000)))
+    fx = ensure_fixture(seed=42, n_turns=n_turns)
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="qse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    q: dict[str, float] = {}
+    cfg = PipelineConfig(salt=cpus)
+
+    # --- headline: end-to-end pipeline, stage-by-stage timing ---
+    t0 = time.time()
+    transcripts = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
+    triples = extract_triples(transcripts, salt=cfg.salt)
+    triples = triples.persist()
+    n_triples = triples.count()
+    q["p1_extract"] = time.time() - t0
+
+    t = time.time()
+    links = linking_edges(mentions_from_triples(triples), tau=cfg.tau,
+                          bands=cfg.bands, rows=cfg.rows_per_band,
+                          max_block=cfg.max_block).persist()
+    links.count()
+    q["p2_linking"] = time.time() - t
+
+    t = time.time()
+    cmap = canonical_map(links).persist()
+    n_mentions = cmap.count()
+    q["p3_cc"] = time.time() - t
+
+    t = time.time()
+    canon = canonicalize_triples(triples, cmap).persist()
+    n_canon = canon.count()
+    q["p4_canonicalize"] = time.time() - t
+
+    t = time.time()
+    stats = shape_stats(canon)
+    n_stats = stats.count()
+    q["p5_stats"] = time.time() - t
+    e2e = time.time() - t0
+
+    # --- operator queries on the driver tables ---
+    for tbl in ["customer", "orders", "nation", "region", "lineitem",
+                "documents", "embeddings", "events"]:
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(tbl)
+
+    t = time.time()
+    shape_stats(spark.sql(TPCH_TRIPLES_SQL)).count()
+    q["q_kernel_tpch"] = time.time() - t
+
+    docs = spark.table("documents")
+    t = time.time()
+    dedup.minhash_dedup(docs, tau=0.5).count()
+    q["q_dedup_minhash"] = time.time() - t
+
+    emb = spark.table("embeddings")
+    t = time.time()
+    similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20),
+                                k=10).count()
+    q["q_sim_topk"] = time.time() - t
+
+    ev = spark.table("events")
+    t = time.time()
+    (ev.groupBy(F.window("ts", "1 hour"), "event_type")
+       .agg(F.count("*"), F.sum("value")).count())
+    q["q_events_window"] = time.time() - t
+
+    out = {
+        "metric": "kg_pipeline_e2e",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "sf": sf_tag,
+        "cpus": cpus,
+        "rows": {"turns": n_turns, "raw_triples": n_triples,
+                 "mentions": n_mentions, "canonical_triples": n_canon,
+                 "stats_rows": n_stats},
+        "throughput": {
+            "turns_per_sec": round(n_turns / e2e, 1),
+            "triples_per_sec": round(n_triples / e2e, 1),
+            "extract_triples_per_sec": round(n_triples / q["p1_extract"], 1),
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Reusable native column expressions (JVM-side, codegen-friendly) shared
+across operators: surface normalization, decoration stripping, shingling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..textnorm import STRIP_TOKENS
+
+
+def normalize_surface_col(col):
+    """Native twin of textnorm.normalize_surface (ASCII inputs)."""
+    lowered = F.lower(col)
+    spaced = F.regexp_replace(lowered, r"[ .\-_]+", " ")
+    cleaned = F.regexp_replace(spaced, r"[^a-z0-9 ]", "")
+    return F.regexp_replace(F.trim(cleaned), " ", "_")
+
+
+def strip_core_col(col):
+    """Native twin of textnorm.strip_core."""
+    toks = F.split(col, "_")
+    stop = F.array(*[F.lit(t) for t in sorted(STRIP_TOKENS)])
+    kept = F.filter(toks, lambda t: ~F.array_contains(stop, t)
+                    & (t != F.lit("")))
+    return F.when(F.size(kept) > 0, F.array_join(kept, "_")).otherwise(col)
+
+
+def shingles_col(col, n: int = 3):
+    """Distinct character n-gram shingles of a string column."""
+    return F.array_distinct(F.expr(
+        f"transform(sequence(0, greatest(length({col}) - {n}, 0)), "
+        f"i -> substring({col}, i + 1, {n}))"))

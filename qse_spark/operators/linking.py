@@ -32,27 +32,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..textnorm import STRIP_TOKENS
+from ..functions.columns import shingles_col, strip_core_col
 
 DEFAULT_TAU = 0.55
 DEFAULT_BANDS = 12
 DEFAULT_ROWS_PER_BAND = 3
-
-
-def strip_core_col(col):
-    """Native-SQL twin of textnorm.strip_core."""
-    toks = F.split(col, "_")
-    stop = F.array(*[F.lit(t) for t in sorted(STRIP_TOKENS)])
-    kept = F.filter(toks, lambda t: ~F.array_contains(stop, t) & (t != F.lit("")))
-    joined = F.array_join(kept, "_")
-    return F.when(F.size(kept) > 0, joined).otherwise(col)
-
-
-def shingles_col(col, n: int = 3):
-    """Array of n-gram shingles of a string column (distinct)."""
-    return F.array_distinct(F.expr(
-        f"transform(sequence(0, greatest(length({col}) - {n}, 0)), "
-        f"i -> substring({col}, i + 1, {n}))"))
 
 
 def mention_cores(mentions: DataFrame) -> DataFrame:
@@ -61,28 +45,33 @@ def mention_cores(mentions: DataFrame) -> DataFrame:
         "mention_id", strip_core_col(F.col("mention_id")).alias("core"))
 
 
-def _candidate_pairs(cores: DataFrame, bands: int, rows: int,
-                     max_block: int) -> DataFrame:
-    """Distinct candidate (a, b) core pairs, a < b, via LSH ∪ token blocks."""
-    sh = cores.select("core", shingles_col("core").alias("sh"))
-
-    # minhash signature: per band b, key = xxhash64 of the R row-minima.
-    # xxhash64(shingle, seed) gives H independent hash families JVM-side.
+def _band_keys(sh: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(core, band, key) LSH band keys in ONE pass: explode shingles ->
+    H min-hash aggregations -> one explode over an array of band structs
+    (never a self-union, which would recompute the aggregation per band)."""
     exploded = sh.select("core", F.explode("sh").alias("g"))
     mins = [F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
             for i in range(bands * rows)]
     sig = exploded.groupBy("core").agg(*mins)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        band_rows.append(sig.select(
-            "core", F.lit(b).alias("band"), F.xxhash64(*cols).alias("key")))
-    lsh_keys = band_rows[0]
-    for br in band_rows[1:]:
-        lsh_keys = lsh_keys.unionByName(br)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+                 .alias("key"))
+        for b in range(bands)])
+    return (sig.select("core", F.explode(band_structs).alias("bk"))
+            .select("core", F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
 
-    # token blocks: every full token is a block key (band = -1 namespace).
-    tok_keys = cores.select(
+
+def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
+                     max_block: int) -> DataFrame:
+    """Distinct candidate (a, b) core pairs, a < b, via LSH ∪ token blocks.
+    `sh` is the cached (core, sh) shingle table."""
+    lsh_keys = _band_keys(sh, bands, rows)
+
+    # token blocks: every full token is a block key (band = -1 namespace) —
+    # guarantees recall for suffix-extended aliases regardless of LSH luck.
+    tok_keys = sh.select(
         F.col("core"),
         F.lit(-1).alias("band"),
         F.explode(F.split("core", "_")).alias("tok")
@@ -109,70 +98,65 @@ def blocking_report(cores: DataFrame, bands: int = DEFAULT_BANDS,
                     max_block: int = 2000) -> DataFrame:
     """Blocks exceeding max_block (these get dropped): (band, key, blk_n)."""
     sh = cores.select("core", shingles_col("core").alias("sh"))
-    exploded = sh.select("core", F.explode("sh").alias("g"))
-    mins = [F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
-            for i in range(bands * rows)]
-    sig = exploded.groupBy("core").agg(*mins)
-    first_band = sig.select(
-        "core", F.lit(0).alias("band"),
-        F.xxhash64(*[F.col(f"h{r}") for r in range(rows)]).alias("key"))
-    return (first_band.groupBy("band", "key").count()
+    return (_band_keys(sh, bands, rows).groupBy("band", "key").count()
             .filter(F.col("count") > max_block))
 
 
-def link_mentions(mentions: DataFrame, tau: float = DEFAULT_TAU,
-                  bands: int = DEFAULT_BANDS,
-                  rows: int = DEFAULT_ROWS_PER_BAND,
-                  max_block: int = 2000) -> DataFrame:
-    """mentions(mention_id) -> links(src, dst, score).
-
-    Emits the union of:
-      exact edges   mention -> another mention with the identical core
-                    (closed via the core node during CC, see pipeline)
-      fuzzy edges   core a ~ core b with shingle-Jaccard >= tau
-
-    Returned as symmetric-free (src < dst) edges between CORES plus the
-    mention->core projection edges; the CC stage consumes both so that the
-    final components group mention_ids.
-    """
-    cores = mention_cores(mentions)
-    distinct_cores = cores.select("core").distinct()
-    cand = _candidate_pairs(distinct_cores, bands, rows, max_block)
-
-    sh_dim = distinct_cores.select(
-        "core", shingles_col("core").alias("sh"),
-        F.size(shingles_col("core")).alias("n"))
+def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
+                 max_block: int) -> DataFrame:
+    """Verified fuzzy core pairs from a cached (core, sh, n) table."""
+    cand = _candidate_pairs(sh_dim.select("core", "sh"), bands, rows,
+                            max_block)
     a_sh = sh_dim.select(F.col("core").alias("a"), F.col("sh").alias("sh_a"),
                          F.col("n").alias("n_a"))
     b_sh = sh_dim.select(F.col("core").alias("b"), F.col("sh").alias("sh_b"),
                          F.col("n").alias("n_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    fuzzy = (cand.join(a_sh, "a").join(b_sh, "b")
-             .withColumn("score", jac)
-             .filter(F.col("score") >= tau)
-             .select(F.col("a").alias("src"), F.col("b").alias("dst"),
-                     "score"))
-    return fuzzy
+    return (cand.join(a_sh, "a").join(b_sh, "b")
+            .withColumn("score", jac)
+            .filter(F.col("score") >= tau)
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                    "score"))
 
 
-def linking_edges(mentions: DataFrame, **kw) -> DataFrame:
+def link_mentions(mentions: DataFrame, tau: float = DEFAULT_TAU,
+                  bands: int = DEFAULT_BANDS,
+                  rows: int = DEFAULT_ROWS_PER_BAND,
+                  max_block: int = 2000) -> DataFrame:
+    """mentions(mention_id) -> fuzzy core links(src, dst, score>=tau)."""
+    sh_dim = (mention_cores(mentions).select("core").distinct()
+              .withColumn("sh", shingles_col("core"))
+              .withColumn("n", F.size("sh"))
+              .persist())
+    return _fuzzy_links(sh_dim, tau, bands, rows, max_block)
+
+
+def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
+                  bands: int = DEFAULT_BANDS,
+                  rows: int = DEFAULT_ROWS_PER_BAND,
+                  max_block: int = 2000) -> DataFrame:
     """Full CC input: fuzzy core-core edges ∪ mention->core edges.
 
     Core node ids live in the same string space as mention ids (a core IS a
     valid normalized surface, often an actually-occurring mention), so the
-    component minimum over {mentions ∪ cores} equals the minimum over
-    mentions whenever every core has at least one mention with
-    mention_id == core OR mention_id < core... which is NOT guaranteed —
+    component minimum over {mentions ∪ cores} could be a synthetic node —
     therefore cores are namespaced with a '\\x7f' prefix (sorts after every
     printable mention id) so the component min is always a real mention id.
+
+    The mention->core projection and the fuzzy path share one cached core
+    table (mentions is scanned once).
     """
-    cores = mention_cores(mentions)
+    cores = mention_cores(mentions).persist()
+    sh_dim = (cores.select("core").distinct()
+              .withColumn("sh", shingles_col("core"))
+              .withColumn("n", F.size("sh"))
+              .persist())
     core_node = F.concat(F.lit("\x7f"), F.col("core"))
     proj = cores.select(F.col("mention_id").alias("src"),
                         core_node.alias("dst"),
                         F.lit(1.0).alias("score"))
-    fuzzy = link_mentions(mentions, **kw).select(
+    fuzzy = _fuzzy_links(sh_dim, tau, bands, rows, max_block).select(
         F.concat(F.lit("\x7f"), F.col("src")).alias("src"),
         F.concat(F.lit("\x7f"), F.col("dst")).alias("dst"),
         "score")

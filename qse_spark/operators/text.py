@@ -1,0 +1,86 @@
+"""Text-analysis operators over `documents(doc_id, text, ...)` — language
+ID, quality scoring, token counting, fingerprinting. All native Spark SQL
+expressions (whole-stage codegen), each with an exact SQL oracle twin in
+oracles.py / __spark_entry__.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword gazetteers (public-knowledge function words).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "du", "que", "une"],
+}
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) — whitespace tokens; the BPE-ish subword estimate
+    adds ceil(chars/4) bounded below by word count (common len/4 heuristic)."""
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.greatest(F.size(toks),
+                   F.ceil(F.length(F.col("text")) / 4).cast("int"))
+        .alias("n_tokens_bpe_est"))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — argmax of stopword hits per language;
+    deterministic tie-break by language code order. 'und' when nothing hits."""
+    toks = _tokens(F.col("text"))
+    scored = docs.select("doc_id", toks.alias("t"))
+    def _hits_for(lang):
+        # N.B. a two-arg lambda would make F.filter pass (value, index);
+        # build a fresh single-arg closure per language instead.
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        return F.size(F.filter(F.col("t"), lambda x: F.array_contains(sw, x)))
+
+    hit_cols = [F.struct(_hits_for(lang).alias("hits"),
+                         F.lit(lang).alias("lang"))
+                for lang in sorted(LANG_STOPWORDS)]
+    best = F.array_max(F.array(*hit_cols))
+    return (scored
+            .withColumn("_b", best)
+            .select("doc_id",
+                    F.when(F.col("_b.hits") > 0, F.col("_b.lang"))
+                    .otherwise(F.lit("und")).alias("lang_pred"),
+                    F.col("_b.hits").alias("lang_hits")))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_word_len, alpha_ratio, score) —
+    simple length/character-class heuristics; score in [0,1]."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    mean_wl = F.when(n_tok > 0,
+                     F.aggregate(toks, F.lit(0),
+                                 lambda a, t: a + F.length(t)) / n_tok
+                     ).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(20.0))
+    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)) \
+        .otherwise(F.lit(0.5))
+    score = F.round(0.4 * len_score + 0.3 * alpha_ratio + 0.3 * wl_score, 6)
+    return docs.select("doc_id", n_chars.alias("n_chars"),
+                       n_tok.alias("n_tokens"),
+                       F.round(mean_wl, 6).alias("mean_word_len"),
+                       F.round(alpha_ratio, 6).alias("alpha_ratio"),
+                       score.alias("score"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — md5 of whitespace-normalized lowercase text (md5 so the
+    DuckDB oracle reproduces it bit-for-bit)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

@@ -1,0 +1,275 @@
+"""SHACL shape construction, pruning, post-annotation, statistics, and P/R.
+
+Reference parity (file:line into /root/reference):
+
+  shape naming       `ShapesExtractor.java:259,442` — NodeShape
+                     "<ns><Class>Shape", PropertyShape "<ns><prop><Class>ShapeProperty"
+  constraint kinds   `ShapesExtractor.java:483-516,540-575`: one objType ->
+                     direct sh:datatype (+ nodeKind Literal) for XSD/langString,
+                     sh:class (+ nodeKind IRI) for known classes, bare nodeKind
+                     IRI for the undefined sentinel; >1 objType -> sh:or list;
+                     the instance-type property gets sh:in (the class itself),
+                     `ShapesExtractor.java:452-461`
+  minCount           support == class_count (`:470-472`); additionally forced
+                     when the SOLE objType is the undefined sentinel
+                     (`:502-505` — single-objType branch only)
+  maxCount           via stats.max_count (exists-semantics, StatsComputer)
+  support/confidence annotations on every (prop, objType)
+                     (`annotateWithSupportAndConfidence`, Constants.java:18-19)
+  pruning            stats.prune (S12) + node-shape support gate
+                     (`ShapesExtractor.java:240-249`); the type property is
+                     never pruned (`:297-301`)
+  sh:node post-annotation  `PostConstraintsAnnotator.java:30-104` — self-join
+                     of property shapes' sh:class against node-shape targets
+  shape statistics   `ShapesExtractor.java:1041-1087` (COUNT/AVG/MIN/MAX grid)
+  precision/recall   `PrecisionRecallComputer.java:105-141`
+
+Everything is a transformation of the stats DataFrame — shapes are data, the
+TTL file is just a rendering (written as partitioned shards, each a valid
+Turtle document, via native Spark ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .constants import (LITERAL_DATATYPES, SHAPES_NAMESPACE, TYPE_PREDICATE,
+                        UNDEFINED_OBJECT_TYPE)
+from .stats import prune
+
+_LITERALS = list(LITERAL_DATATYPES.values())
+
+
+def _local(col):
+    """Local name of an IRI-ish label (after last / # :)."""
+    return F.element_at(F.split(col, "[/#:]"), -1)
+
+
+def node_shapes(stats: DataFrame) -> DataFrame:
+    """(node_shape, target_class, class_count) — one per class."""
+    return (stats.groupBy(F.col("class").alias("target_class"))
+            .agg(F.max("class_count").alias("class_count"))
+            .withColumn("node_shape",
+                        F.concat(F.lit(SHAPES_NAMESPACE),
+                                 _local(F.col("target_class")),
+                                 F.lit("Shape")))
+            .select("node_shape", "target_class", "class_count"))
+
+
+def _constraint_kind(type_predicate: str):
+    return (F.when(F.col("property") == type_predicate, F.lit("in"))
+            .when(F.col("obj_type").isin(_LITERALS), F.lit("datatype"))
+            .when(F.col("obj_type") == UNDEFINED_OBJECT_TYPE,
+                  F.lit("nodeKind"))
+            .otherwise(F.lit("class")))
+
+
+def property_shapes(stats: DataFrame,
+                    type_predicate: str = TYPE_PREDICATE) -> DataFrame:
+    """One row per (class, property): the property-shape record.
+
+    Columns: node_shape, target_class, prop_shape, path, constraints
+    (sorted array of structs (obj_type, kind, support, confidence)),
+    n_obj_types, min_count, max_count, uses_or.
+    """
+    rows = stats.withColumn("kind", _constraint_kind(type_predicate))
+    grouped = (rows.groupBy("class", "property")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                        F.col("obj_type"), F.col("kind"),
+                        F.col("support"), F.col("confidence")))
+                    ).alias("constraints"),
+                    F.max("class_count").alias("class_count"),
+                    F.max(F.when(F.col("support") == F.col("class_count"), 1)
+                          ).alias("_min_by_support"),
+                    F.max("max_count").alias("max_count"),
+                    F.count("*").alias("n_obj_types"),
+                    F.max(F.when(F.col("obj_type") == UNDEFINED_OBJECT_TYPE,
+                                 1)).alias("_has_undef")))
+    # forced minCount for a SOLE undefined objType (single-branch only)
+    min_count = F.when(
+        (F.col("_min_by_support") == 1)
+        | ((F.col("n_obj_types") == 1) & (F.col("_has_undef") == 1)),
+        F.lit(1)).otherwise(F.lit(None).cast("int"))
+    return (grouped
+            .withColumn("min_count", min_count)
+            .withColumn("node_shape",
+                        F.concat(F.lit(SHAPES_NAMESPACE),
+                                 _local(F.col("class")), F.lit("Shape")))
+            .withColumn("prop_shape",
+                        F.concat(F.lit(SHAPES_NAMESPACE),
+                                 _local(F.col("property")),
+                                 _local(F.col("class")),
+                                 F.lit("ShapeProperty")))
+            .withColumn("uses_or", F.col("n_obj_types") > 1)
+            .select(F.col("class").alias("target_class"), "node_shape",
+                    "prop_shape", F.col("property").alias("path"),
+                    "constraints", "n_obj_types", "min_count", "max_count",
+                    "uses_or", "class_count"))
+
+
+def pruned_shapes(stats: DataFrame, confidence: float, support: int,
+                  type_predicate: str = TYPE_PREDICATE
+                  ) -> tuple[DataFrame, DataFrame]:
+    """(node_shapes, property_shapes) after QSE-Pruned filtering:
+    node shapes gated on class_count > S (>= when S == 1); property rows
+    threshold-filtered except the instance-type property, which always
+    survives (ShapesExtractor.java:297-301)."""
+    kept_rows = prune(stats, confidence, support)
+    type_rows = stats.filter(F.col("property") == type_predicate)
+    rows = kept_rows.unionByName(type_rows).distinct()
+    ns_gate = (F.col("class_count") >= support) if support == 1 \
+        else (F.col("class_count") > support)
+    ns = node_shapes(stats).filter(ns_gate)
+    ps = (property_shapes(rows, type_predicate)
+          .join(ns.select("target_class"), "target_class", "left_semi"))
+    return ns, ps
+
+
+def annotate_sh_node(prop_shapes: DataFrame, nodes: DataFrame) -> DataFrame:
+    """S14 — for property shapes whose single constraint is sh:class X and a
+    node shape targets X, add sh_node = X's node shape IRI."""
+    single_cls = (prop_shapes
+                  .withColumn("_c", F.element_at("constraints", 1))
+                  .withColumn("_cls", F.when(
+                      (F.col("n_obj_types") == 1)
+                      & (F.col("_c.kind") == "class"), F.col("_c.obj_type"))))
+    tgt = nodes.select(F.col("target_class").alias("_cls"),
+                       F.col("node_shape").alias("sh_node"))
+    return (single_cls.join(F.broadcast(tgt), "_cls", "left")
+            .drop("_c", "_cls"))
+
+
+def shape_metrics(nodes: DataFrame, props: DataFrame) -> dict:
+    """S15 — the reference's COUNT/AVG/MIN/MAX statistics grid."""
+    n_ns = nodes.count()
+    agg = props.select(
+        F.count("*").alias("ps"),
+        F.sum(F.size(F.filter("constraints",
+                              lambda c: c["kind"] == "class"))).alias("cls_c"),
+        F.sum(F.size(F.filter("constraints",
+                              lambda c: c["kind"] == "datatype"))).alias("lit_c"),
+        F.sum(F.size(F.filter("constraints",
+                              lambda c: c["kind"] == "nodeKind"))).alias("undef_c"),
+        F.sum(F.when(F.col("min_count") == 1, 1).otherwise(0)).alias("min_c"),
+        F.sum(F.when(F.col("max_count") == 1, 1).otherwise(0)).alias("max_c"),
+        F.sum(F.when(F.col("uses_or"), 1).otherwise(0)).alias("or_c"),
+    ).collect()[0]
+    per_ns = (props.groupBy("node_shape").count()
+              .agg(F.avg("count").alias("avg"), F.min("count").alias("min"),
+                   F.max("count").alias("max")).collect()[0])
+    return {
+        "node_shapes": n_ns,
+        "property_shapes": int(agg["ps"] or 0),
+        "class_constraints": int(agg["cls_c"] or 0),
+        "literal_constraints": int(agg["lit_c"] or 0),
+        "undefined_constraints": int(agg["undef_c"] or 0),
+        "min_count_constraints": int(agg["min_c"] or 0),
+        "max_count_constraints": int(agg["max_c"] or 0),
+        "sh_or_shapes": int(agg["or_c"] or 0),
+        "avg_ps_per_ns": float(per_ns["avg"] or 0.0),
+        "min_ps_per_ns": int(per_ns["min"] or 0),
+        "max_ps_per_ns": int(per_ns["max"] or 0),
+    }
+
+
+# ------------------------------------------------------------------ TTL sink
+
+_PREFIXES = (
+    "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+    "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+    "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+    f"@prefix qse: <{SHAPES_NAMESPACE}> .\n\n")
+
+
+def _iri(v: str) -> str:
+    return f"<{v}>" if "://" in v else f"<{SHAPES_NAMESPACE}{v}>"
+
+
+def _dtype_iri(label: str) -> str:
+    return ("<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"
+            if label == "rdf:langString"
+            else f"<http://www.w3.org/2001/XMLSchema#{label.split(':')[1]}>")
+
+
+def render_ttl_rows(nodes_props) -> list[str]:
+    """Pure renderer: (node_shape_rows, prop_shape_rows) -> Turtle chunks."""
+    nodes, props = nodes_props
+    chunks = []
+    for r in nodes:
+        chunks.append(
+            f"<{r['node_shape']}> a sh:NodeShape ;\n"
+            f"  sh:targetClass {_iri(r['target_class'])} .\n")
+    for r in props:
+        lines = [f"<{r['prop_shape']}> a sh:PropertyShape ;",
+                 f"  sh:path {_iri(r['path'])} ;"]
+        members = []
+        for c in r["constraints"]:
+            body = []
+            if c["kind"] == "datatype":
+                body.append(f"sh:datatype {_dtype_iri(c['obj_type'])} ; "
+                            f"sh:nodeKind sh:Literal")
+            elif c["kind"] == "class":
+                body.append(f"sh:class {_iri(c['obj_type'])} ; "
+                            f"sh:nodeKind sh:IRI")
+            elif c["kind"] == "in":
+                body.append(f"sh:in ( {_iri(c['obj_type'])} )")
+            else:
+                body.append("sh:nodeKind sh:IRI")
+            body.append(f"<{SHAPES_NAMESPACE.rstrip('/')}/support> "
+                        f"{int(c['support'])} ; "
+                        f"<{SHAPES_NAMESPACE.rstrip('/')}/confidence> "
+                        f"{float(c['confidence']):.6f}")
+            members.append(" ; ".join(body))
+        if len(members) == 1:
+            lines.append(f"  {members[0]} ;")
+        else:
+            ors = " ".join(f"[ {m} ]" for m in members)
+            lines.append(f"  sh:or ( {ors} ) ;")
+        if r["min_count"] is not None:
+            lines.append(f"  sh:minCount {int(r['min_count'])} ;")
+        if r["max_count"] is not None:
+            lines.append(f"  sh:maxCount {int(r['max_count'])} ;")
+        lines[-1] = lines[-1].rstrip(" ;") + " ."
+        chunks.append("\n".join(lines) + "\n")
+    return chunks
+
+
+def write_ttl(nodes: DataFrame, props: DataFrame, path: str) -> None:
+    """Partitioned Turtle sink: every shard is a self-contained TTL document
+    (prefix header + shape blocks). Scales with partitions; for small outputs
+    coalesce(1) first."""
+    both = (nodes.select(F.lit("N").alias("k"), F.to_json(F.struct("*")).alias("j"))
+            .unionByName(props.select(F.lit("P").alias("k"),
+                                      F.to_json(F.struct("*")).alias("j"))))
+
+    def _render(batches):
+        import json as _json
+        import pandas as _pd
+        ns, ps = [], []
+        for pdf in batches:
+            for k, j in zip(pdf["k"], pdf["j"]):
+                d = _json.loads(j)
+                d.setdefault("min_count", None)
+                d.setdefault("max_count", None)
+                (ns if k == "N" else ps).append(d)
+        chunks = render_ttl_rows((ns, ps))
+        yield _pd.DataFrame({"value": [_PREFIXES + "".join(chunks)]})
+
+    from pyspark.sql.types import StringType, StructField, StructType
+    txt = both.mapInPandas(_render, StructType([StructField("value", StringType())]))
+    txt.write.mode("overwrite").text(path)
+
+
+# ----------------------------------------------------------- P/R (V1 parity)
+
+def precision_recall(a_keys: DataFrame, b_keys: DataFrame) -> dict:
+    """P/R of B against baseline A over arbitrary key DataFrames (same
+    schema). Mirrors PrecisionRecallComputer.java:105-141:
+    P = |A∩B|/|B|, R = |A∩B|/|A|."""
+    a = a_keys.distinct().cache()
+    b = b_keys.distinct().cache()
+    inter = a.intersect(b).count()
+    na, nb = a.count(), b.count()
+    return {"precision": inter / nb if nb else 1.0,
+            "recall": inter / na if na else 1.0,
+            "intersection": inter, "a": na, "b": nb}

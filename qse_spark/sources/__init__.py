@@ -1,0 +1,2 @@
+from .ntriples import read_ntriples  # noqa: F401
+from .tables import read_table, write_table  # noqa: F401

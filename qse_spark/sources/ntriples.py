@@ -1,0 +1,53 @@
+"""S1 parity — N-Triples file source.
+
+The reference streams N-Triples line-at-a-time through NxParser
+(`filebased/Parser.java:103-105`) and re-scans the file once per phase.
+Here the file is parsed ONCE into the engine's triple table with a single
+`spark.read.text` + native regex expressions (splittable text scan, no
+Python), and downstream phases share the cached/materialized table instead
+of re-scanning (SURVEY §2 S1).
+
+Object-kind tagging mirrors `Parser.extractObjectType`
+(`Parser.java:414-429`): typed literal -> its datatype IRI local name,
+language-tagged -> langString, plain literal -> string, IRI -> iri.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# <s> <p> <o> .   with o = IRI | literal ("..."[@lang|^^<dtype>]) | bnode
+_S = r"^\s*(?:<([^>]*)>|(_:\S+))\s+"
+_P = r"<([^>]*)>\s+"
+_O = r"(?:<([^>]*)>|(_:\S+)|\"((?:[^\"\\]|\\.)*)\"(?:@([A-Za-z\-]+)|\^\^<([^>]*)>)?)\s*\.\s*$"
+_NT = _S + _P + _O
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Parse an N-Triples file into (subject, predicate, object, obj_kind)."""
+    raw = spark.read.text(path)
+    g = [F.regexp_extract("value", _NT, i) for i in range(9)]
+    s_iri, s_bn, pred, o_iri, o_bn, o_lit, o_lang, o_dt = (
+        g[1], g[2], g[3], g[4], g[5], g[6], g[7], g[8])
+    subject = F.when(s_iri != "", s_iri).otherwise(s_bn)
+    is_iri_obj = (o_iri != "") | (o_bn != "")
+    obj = (F.when(o_iri != "", o_iri)
+           .when(o_bn != "", o_bn)
+           .when(o_lang != "", F.concat(o_lit, F.lit("@"), o_lang))
+           .otherwise(o_lit))
+    dt_local = F.lower(F.element_at(F.split(o_dt, "#"), -1))
+    obj_kind = (F.when(is_iri_obj, F.lit("iri"))
+                .when(o_lang != "", F.lit("langString"))
+                .when(o_dt == "", F.lit("string"))
+                .when(dt_local.isin("int", "integer", "long", "short",
+                                    "nonnegativeinteger", "decimal"),
+                      F.lit("integer"))
+                .when(dt_local.isin("date", "datetime", "gyear"),
+                      F.lit("date"))
+                .otherwise(F.lit("string")))
+    return (raw.filter((F.col("value") != "")
+                       & ~F.col("value").startswith("#"))
+            .select(subject.alias("subject"), pred.alias("predicate"),
+                    obj.alias("object"), obj_kind.alias("obj_kind"))
+            .filter(F.col("subject") != ""))

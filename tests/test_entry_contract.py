@@ -1,0 +1,54 @@
+"""Driver-contract conformance: entry() smoke, every queries() entry runs at
+sf0.001 with a stable schema, and each oracle_sql() twin matches on DuckDB
+(the full sf0.01 sweep is tools/check_oracles.py; here the cheap scale)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from tools.check_oracles import TABLES, compare  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert {"class", "property", "obj_type", "support",
+            "class_count", "confidence"} <= set(df.columns)
+
+
+@pytest.fixture(scope="module")
+def duck_views():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_every_query_has_unique_columns(spark):
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF)
+        assert len(df.columns) == len(set(df.columns)), name
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries().keys()))
+def test_query_matches_oracle(spark, duck_views, name):
+    # NOTE: oracle fixture paths are sf0.01-pinned (driver runs there); at
+    # sf0.001 only non-fixture oracles are value-checked.
+    if name.startswith("kg_"):
+        pytest.skip("kg_* oracles pinned to the sf0.01 fixture "
+                    "(covered by tools/check_oracles.py + test_pipeline)")
+    fn = entry.queries()[name]
+    ok, msg = compare(name, fn(spark, SF), entry.oracle_sql().get(name),
+                      duck_views)
+    assert ok, msg

@@ -1,0 +1,64 @@
+"""Extraction: exact parity with the gold per-turn triples, normalization
+parity between the scalar and vectorized implementations, and the
+input_hint invariant (per-turn output equality under stable ordering)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from qse_spark.operators.extraction import (_norm_series, extract_triples,
+                                            mentions_from_triples)
+from qse_spark.textnorm import normalize_surface
+
+
+def test_extraction_matches_gold_exactly(spark, fixture_dir):
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    got = set(map(tuple, extract_triples(tr).collect()))
+    gold = set(map(tuple, duckdb.sql(
+        f"SELECT * FROM read_parquet('{fixture_dir}/gold_triples_raw.parquet')"
+    ).fetchall()))
+    assert got == gold
+
+
+def test_extraction_partition_invariant(spark, fixture_dir):
+    """Same triples regardless of salting / partitioning (per-turn purity)."""
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    a = sorted(map(tuple, extract_triples(tr, salt=0).collect()))
+    b = sorted(map(tuple, extract_triples(tr.repartition(7), salt=13).collect()))
+    assert a == b
+
+
+def test_per_turn_text_equality(spark, fixture_dir):
+    """input_hint invariant: reading under stable (conv_id, turn_idx)
+    ordering reproduces the exact per-turn texts."""
+    tr = (spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+          .orderBy("conv_id", "turn_idx").toPandas())
+    exp = duckdb.sql(
+        f"SELECT conv_id, turn_idx, text FROM "
+        f"read_parquet('{fixture_dir}/transcripts.parquet') "
+        f"ORDER BY conv_id, turn_idx").df()
+    assert list(tr["text"]) == list(exp["text"])
+    assert not tr.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_norm_parity_vectorized_vs_scalar():
+    samples = ["Dr Alice Smith", "ACME  Corp.", "a-b_c.d", " x  y ",
+               "Plain", "foo.bar-baz", "Tool_name", "A.B. Corp"]
+    vec = _norm_series(pd.Series(samples)).tolist()
+    assert vec == [normalize_surface(s) for s in samples]
+
+
+def test_mentions_exclude_class_labels(spark, fixture_dir):
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    m = {r["mention_id"]
+         for r in mentions_from_triples(extract_triples(tr)).collect()}
+    assert "Person" not in m and "Company" not in m and "Employee" not in m
+    assert len(m) > 0
+
+
+def test_garbage_and_empty_rows(spark):
+    rows = [("c", 0, "", ), ("c", 1, None), ("c", 2, "no template at all"),
+            ("c", 3, "nächste schritte — 了解 ✨")]
+    tr = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    assert extract_triples(tr).count() == 0

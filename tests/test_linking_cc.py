@@ -1,0 +1,83 @@
+"""Linking + connected components: exact canonical map vs gold, CC
+algebraic properties (permutation invariance, idempotence), block capping."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from qse_spark.operators.cc import canonical_map, connected_components
+from qse_spark.operators.extraction import (extract_triples,
+                                            mentions_from_triples)
+from qse_spark.operators.linking import (blocking_report, link_mentions,
+                                         linking_edges, mention_cores)
+
+
+@pytest.fixture(scope="module")
+def mentions(spark, fixture_dir):
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    return mentions_from_triples(extract_triples(tr)).cache()
+
+
+def test_canonical_map_matches_gold(spark, fixture_dir, mentions):
+    got = {r["mention_id"]: r["canonical_id"]
+           for r in canonical_map(linking_edges(mentions)).collect()}
+    gold = dict(duckdb.sql(
+        f"SELECT * FROM read_parquet('{fixture_dir}/gold_canonical_map.parquet')"
+    ).fetchall())
+    assert got == gold
+
+
+def test_canonical_idempotent(spark, mentions):
+    cmap = canonical_map(linking_edges(mentions))
+    m = {r["mention_id"]: r["canonical_id"] for r in cmap.collect()}
+    for canon in set(m.values()):
+        assert m.get(canon, canon) == canon, "canon(canon(x)) != canon(x)"
+
+
+def test_fuzzy_scores_bounded(spark, mentions):
+    links = link_mentions(mentions).toPandas()
+    assert len(links) > 0
+    assert ((links["score"] >= 0.55) & (links["score"] <= 1.0)).all()
+    assert (links["src"] < links["dst"]).all()
+
+
+def test_cc_permutation_invariant(spark):
+    edges = [("b", "a"), ("c", "b"), ("x", "y"), ("z", "x"), ("q", "q2")]
+    outs = []
+    for seed in (0, 1, 2):
+        df = (spark.createDataFrame(edges, ["src", "dst"])
+              .orderBy(F.md5(F.concat(F.col("src"), F.lit(str(seed)))))
+              .repartition(3 + seed))
+        outs.append(sorted(map(tuple, connected_components(df).collect())))
+    assert outs[0] == outs[1] == outs[2]
+    comp = dict(outs[0])
+    assert comp["c"] == "a" and comp["z"] == "x" and comp["a"] == "a"
+
+
+def test_cc_long_chain_and_star(spark):
+    chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(50)]
+    star = [("hub", f"s{i}") for i in range(20)]
+    df = spark.createDataFrame(chain + star, ["src", "dst"])
+    comp = dict((r["node"], r["component"])
+                for r in connected_components(df).collect())
+    assert all(comp[f"n{i:03d}"] == "n000" for i in range(51))
+    assert all(comp[f"s{i}"] == "hub" for i in range(20))
+
+
+def test_block_capping_gates_candidates(spark):
+    # a genuinely linkable pair (Jaccard ~0.8) links under a sane cap but
+    # produces NO candidates when every block exceeds max_block=1 — the
+    # skew guard really gates the self-join
+    m = spark.createDataFrame([("kasir_tebon",), ("kasir_tebonson",)],
+                              ["mention_id"])
+    assert link_mentions(m, max_block=100).count() == 1
+    assert link_mentions(m, max_block=1).count() == 0
+
+
+def test_blocking_report_flags_hot_blocks(spark):
+    cores = spark.createDataFrame(
+        [(f"w{i:03d}_samecore",) for i in range(40)], ["core"])
+    rep = blocking_report(cores, max_block=5)
+    assert rep.count() == 0 or rep.toPandas()["count"].max() <= 40

@@ -1,0 +1,92 @@
+"""Approximate mode (A1-A6): cap formula, determinism under repartitioning,
+bully bias, Bernoulli rate, sampling-adjusted stats invariants, relative-
+support pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qse_spark.operators.sampling import (approx_shape_stats,
+                                          bernoulli_sample_entities,
+                                          dynamic_caps, prune_sampled,
+                                          sample_entity_classes)
+from qse_spark.stats import class_counts_df, entity_types_df, shape_stats
+
+
+def _etypes(spark, fixture_dir):
+    gold = spark.read.parquet(f"{fixture_dir}/gold_triples.parquet")
+    return entity_types_df(gold).cache()
+
+
+def test_dynamic_caps_formula(spark, fixture_dir):
+    cc = class_counts_df(_etypes(spark, fixture_dir))
+    caps = {r["class"]: r["cap"]
+            for r in dynamic_caps(cc, max_cap=10, target_pct=50).collect()}
+    counts = {r["class"]: r["class_count"] for r in cc.collect()}
+    import math
+    for c, n in counts.items():
+        assert caps[c] == min(10, math.ceil(0.5 * n))
+
+
+def test_sample_respects_caps_and_is_deterministic(spark, fixture_dir):
+    et = _etypes(spark, fixture_dir)
+    caps = dynamic_caps(class_counts_df(et), max_cap=5, target_pct=100)
+    s1 = sorted(map(tuple, sample_entity_classes(et, caps, seed=100).collect()))
+    s2 = sorted(map(tuple, sample_entity_classes(
+        et.repartition(13), caps, seed=100).collect()))
+    assert s1 == s2                      # partition-invariant
+    per_class = {}
+    for _, c in s1:
+        per_class[c] = per_class.get(c, 0) + 1
+    assert all(v <= 5 for v in per_class.values())
+    s3 = sorted(map(tuple, sample_entity_classes(et, caps, seed=7).collect()))
+    assert s1 != s3                      # seed actually matters
+
+
+def test_bully_prefers_multiclass(spark, fixture_dir):
+    et = _etypes(spark, fixture_dir)
+    caps = dynamic_caps(class_counts_df(et), max_cap=3, target_pct=100)
+    scope = {r["entity"]: r["n"] for r in
+             et.groupBy("entity").agg(F.count("*").alias("n")).collect()}
+    bully = sample_entity_classes(et, caps, seed=100, bully=True).collect()
+    plain = sample_entity_classes(et, caps, seed=100, bully=False).collect()
+    avg_b = sum(scope[r["entity"]] for r in bully) / len(bully)
+    avg_p = sum(scope[r["entity"]] for r in plain) / len(plain)
+    assert avg_b >= avg_p                # bias toward high-scope entities
+
+
+def test_bernoulli_rate_and_consistency(spark, fixture_dir):
+    et = _etypes(spark, fixture_dir)
+    s = bernoulli_sample_entities(et, pct=30, seed=100)
+    ents_all = et.select("entity").distinct().count()
+    ents_s = s.select("entity").distinct().count()
+    assert 0.15 < ents_s / ents_all < 0.45
+    # entity-consistent: an entity is in or out with ALL its classes
+    per_ent = (s.groupBy("entity").count()
+               .join(et.groupBy("entity").count()
+                     .withColumnRenamed("count", "total"), "entity"))
+    assert per_ent.filter("count <> total").count() == 0
+
+
+def test_approx_stats_invariants_and_convergence(spark, fixture_dir):
+    gold = spark.read.parquet(f"{fixture_dir}/gold_triples.parquet")
+    ap = approx_shape_stats(gold, max_cap=10 ** 6, target_pct=100.0).toPandas()
+    assert (ap["support"] <= ap["sampled_class_count"]).all()
+    assert ((ap["confidence"] > 0) & (ap["confidence"] <= 1)).all()
+    # pct=100, uncapped -> sample == population -> approx == exact
+    exact = shape_stats(gold).toPandas()
+    a = ap[["class", "property", "obj_type", "support"]] \
+        .sort_values(["class", "property", "obj_type"]).reset_index(drop=True)
+    e = exact[["class", "property", "obj_type", "support"]] \
+        .sort_values(["class", "property", "obj_type"]).reset_index(drop=True)
+    assert a.equals(e)
+
+
+def test_relative_support_pruning(spark, fixture_dir):
+    gold = spark.read.parquet(f"{fixture_dir}/gold_triples.parquet")
+    ap = approx_shape_stats(gold, max_cap=5, target_pct=100.0).cache()
+    full = ap.count()
+    kept = prune_sampled(ap, confidence=0.0, support=100).count()
+    assert 0 < kept <= full
+    # S == 1 edge: everything with conf > 0 survives
+    assert prune_sampled(ap, confidence=0.0, support=1).count() == full

@@ -1,0 +1,117 @@
+"""Shape construction: constraint kinds, sh:or grouping, forced minCount,
+node-shape pruning gates, sh:node post-annotation, TTL rendering, metrics,
+precision/recall parity (V1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qse_spark.constants import SHAPES_NAMESPACE, UNDEFINED_OBJECT_TYPE
+from qse_spark.shapes import (annotate_sh_node, node_shapes, precision_recall,
+                              property_shapes, pruned_shapes, render_ttl_rows,
+                              shape_metrics, write_ttl)
+from qse_spark.stats import shape_stats
+
+MICRO = [
+    ("e1", "rdf:type", "A", "iri"),
+    ("e2", "rdf:type", "A", "iri"),
+    ("o1", "rdf:type", "C", "iri"),
+    ("e1", "p", "o1", "iri"),
+    ("e1", "p", "5", "integer"),     # p has two objTypes -> sh:or
+    ("e2", "p", "o1", "iri"),
+    ("e1", "u", "ox", "iri"),        # sole undefined objType -> minCount 1
+    ("e2", "u", "oy", "iri"),
+]
+
+
+def _stats(spark):
+    return shape_stats(spark.createDataFrame(
+        MICRO, ["subject", "predicate", "object", "obj_kind"])).cache()
+
+
+def test_property_shape_kinds_and_or(spark):
+    ps = {(r["target_class"], r["path"]): r
+          for r in property_shapes(_stats(spark)).collect()}
+    p = ps[("A", "p")]
+    assert p["uses_or"] and p["n_obj_types"] == 2
+    kinds = {c["kind"] for c in p["constraints"]}
+    assert kinds == {"class", "datatype"}
+    u = ps[("A", "u")]
+    assert not u["uses_or"]
+    assert u["constraints"][0]["kind"] == "nodeKind"
+    assert u["min_count"] == 1          # forced: sole undefined objType
+    t = ps[("A", "rdf:type")]
+    assert t["constraints"][0]["kind"] == "in"
+    assert t["min_count"] == 1          # support == class_count
+
+
+def test_shape_naming(spark):
+    ns = {r["target_class"]: r["node_shape"]
+          for r in node_shapes(_stats(spark)).collect()}
+    assert ns["A"] == f"{SHAPES_NAMESPACE}AShape"
+    ps = property_shapes(_stats(spark)).collect()
+    assert any(r["prop_shape"] == f"{SHAPES_NAMESPACE}pAShapeProperty"
+               for r in ps)
+
+
+def test_pruned_shapes_gates(spark):
+    st = _stats(spark)
+    ns, ps = pruned_shapes(st, confidence=0.9, support=1)
+    # class C has 1 instance -> survives S==1 gate (>=); A survives
+    assert {r["target_class"] for r in ns.collect()} == {"A", "C"}
+    # confidence 0.9: only conf-1.0 rows survive; type property always kept
+    paths = {(r["target_class"], r["path"]) for r in ps.collect()}
+    assert ("A", "rdf:type") in paths
+    assert ("A", "u") in paths          # undefined row has conf 1.0
+    ns2, _ = pruned_shapes(st, confidence=0.0, support=1000)
+    assert ns2.count() == 0             # class_count gate
+
+
+def test_sh_node_annotation(spark):
+    st = _stats(spark)
+    ns = node_shapes(st)
+    ann = annotate_sh_node(property_shapes(st), ns)
+    by = {(r["target_class"], r["path"]): r["sh_node"] for r in ann.collect()}
+    # (A, u) single undefined -> no sh_node; single-class shapes pointing at
+    # C get C's node shape
+    assert by[("A", "u")] is None
+    # p has 2 objTypes -> not single-class -> None
+    assert by[("A", "p")] is None
+
+
+def test_ttl_render_and_write(spark, tmp_path):
+    st = _stats(spark)
+    ns, ps = node_shapes(st), property_shapes(st)
+    chunks = render_ttl_rows((
+        [r.asDict() for r in ns.collect()],
+        [r.asDict(recursive=True) for r in ps.collect()]))
+    txt = "".join(chunks)
+    assert "sh:NodeShape" in txt and "sh:PropertyShape" in txt
+    assert "sh:or" in txt and "sh:minCount 1" in txt
+    assert f"<{SHAPES_NAMESPACE}AShape>" in txt
+    out = str(tmp_path / "shapes.ttl")
+    write_ttl(ns.coalesce(1), ps.coalesce(1), out)
+    import glob
+    files = glob.glob(f"{out}/part-*")
+    assert files
+    body = open(files[0]).read()
+    assert body.startswith("@prefix sh:")
+    assert "sh:targetClass" in body
+
+
+def test_shape_metrics(spark):
+    st = _stats(spark)
+    m = shape_metrics(node_shapes(st), property_shapes(st))
+    assert m["node_shapes"] == 2        # classes A and C
+    assert m["property_shapes"] >= 4
+    assert m["sh_or_shapes"] == 1
+    assert m["min_count_constraints"] >= 2
+    assert m["avg_ps_per_ns"] > 0
+
+
+def test_precision_recall(spark):
+    a = spark.createDataFrame([("x",), ("y",), ("z",)], ["k"])
+    b = spark.createDataFrame([("x",), ("y",), ("w",)], ["k"])
+    pr = precision_recall(a, b)
+    assert abs(pr["precision"] - 2 / 3) < 1e-9
+    assert abs(pr["recall"] - 2 / 3) < 1e-9

@@ -1,0 +1,70 @@
+"""N-Triples source (S1 parity) and Structured-Streaming extraction parity."""
+
+from __future__ import annotations
+
+from qse_spark.sources.ntriples import read_ntriples
+from qse_spark.stats import shape_stats
+from qse_spark.streaming.extract import streaming_extract
+
+NT = """\
+<http://ex/alice> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/Person> .
+<http://ex/alice> <http://ex/name> "Alice" .
+<http://ex/alice> <http://ex/age> "34"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex/alice> <http://ex/greet> "bonjour"@fr .
+<http://ex/alice> <http://ex/knows> _:b0 .
+_:b0 <http://ex/name> "Bob" .
+# a comment line
+
+<http://ex/alice> <http://ex/born> "2001-02-03"^^<http://www.w3.org/2001/XMLSchema#date> .
+"""
+
+
+def test_ntriples_parse(spark, tmp_path):
+    p = tmp_path / "x.nt"
+    p.write_text(NT)
+    rows = {(r["subject"], r["predicate"]): (r["object"], r["obj_kind"])
+            for r in read_ntriples(spark, str(p)).collect()}
+    assert rows[("http://ex/alice",
+                 "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")] == \
+        ("http://ex/Person", "iri")
+    assert rows[("http://ex/alice", "http://ex/name")] == ("Alice", "string")
+    assert rows[("http://ex/alice", "http://ex/age")] == ("34", "integer")
+    assert rows[("http://ex/alice", "http://ex/greet")] == \
+        ("bonjour@fr", "langString")
+    assert rows[("http://ex/alice", "http://ex/knows")] == ("_:b0", "iri")
+    assert rows[("_:b0", "http://ex/name")] == ("Bob", "string")
+    assert rows[("http://ex/alice", "http://ex/born")] == \
+        ("2001-02-03", "date")
+    assert len(rows) == 7
+
+
+def test_ntriples_feed_kernel(spark, tmp_path):
+    p = tmp_path / "k.nt"
+    p.write_text(NT)
+    st = shape_stats(read_ntriples(spark, str(p)),
+                     type_predicate="http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    rows = {(r["class"], r["property"], r["obj_type"]): r["support"]
+            for r in st.collect()}
+    assert rows[("http://ex/Person", "http://ex/age", "xsd:integer")] == 1
+
+
+def test_streaming_extraction_parity(spark, fixture_dir, tmp_path):
+    """Streaming over the same parquet produces exactly the batch triples."""
+    import shutil
+    from qse_spark.operators.extraction import extract_triples
+    batch = sorted(map(tuple, extract_triples(
+        spark.read.parquet(f"{fixture_dir}/transcripts.parquet")).collect()))
+    stream_dir = tmp_path / "stream_in"           # file source needs a dir
+    stream_dir.mkdir()
+    shutil.copy(f"{fixture_dir}/transcripts.parquet",
+                stream_dir / "part-000.parquet")
+    stream = streaming_extract(spark, str(stream_dir))
+    q = (stream.writeStream.format("memory").queryName("stream_triples")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple,
+                         spark.sql("SELECT * FROM stream_triples").collect()))
+    finally:
+        q.stop()
+    assert got == batch

@@ -1,0 +1,138 @@
+"""Training-data operators: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qse_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "the quick brown fox jumps over the lazy dog today"),      # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat today"),      # near dup
+    (3, "completely different content about spark engines here"),
+    (4, "el gato y el perro en la casa de la abuela"),             # spanish
+    (5, ""),                                                        # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(spark, docs):
+    m = {r["doc_id"]: r["keeper_id"] for r in dedup.exact_dedup(docs).collect()}
+    assert m[0] == 0 and m[1] == 0
+    assert m[2] == 2 and m[3] == 3
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, tau=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_dedup_clusters(spark, docs):
+    m = {r["doc_id"]: r["keeper_id"]
+         for r in dedup.minhash_dedup(docs, tau=0.5).collect()}
+    assert m[0] == 0 and m[1] == 0 and m[2] == 0      # near-dup cluster
+    assert m[3] == 3 and m[4] == 4 and m[5] == 5      # singletons
+    # idempotent keeper rule
+    assert all(m[k] == m[m[k]] for k in m)
+
+
+def test_simhash_properties(spark, docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sig[0] == sig[1]              # identical text -> identical simhash
+    assert sig[5] == 0                   # empty text
+    ham = bin((sig[0] ^ sig[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((sig[0] ^ sig[3]) & (2**64 - 1)).count("1")
+    assert ham < ham_far                 # near-dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_dedup(docs, hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_text_ops(spark, docs):
+    tok = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
+    assert tok[0] == 10 and tok[5] == 0
+    lang = {r["doc_id"]: r["lang_pred"]
+            for r in text.language_id(docs).collect()}
+    assert lang[0] == "en" and lang[4] == "es" and lang[5] == "und"
+    q = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert 0 <= q[0]["score"] <= 1 and q[5]["score"] < q[0]["score"]
+    fp = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((30, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        ["vec_id", "embedding"])
+    got = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0),
+                                      k=5).collect()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = unit @ unit[0]
+    cos[0] = -2
+    exp = list(np.argsort(-cos)[:5])
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == exp
+
+
+def test_lsh_ann_recall_on_clustered_data(spark):
+    # clustered embeddings (the near-dup use case): queries' true neighbors
+    # sit in the same cluster, so hyperplane buckets preserve them
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((20, 16))
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((10, 16))
+                           for c in centers]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") % 10 == 0).limit(10)
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             similarity.brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              similarity.lsh_ann_topk(emb, q, dim=16, k=5,
+                                      n_planes=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+
+
+def test_cosine_near_dup_pairs_clustered(spark):
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in base]),
+            (1, [float(x) for x in base + 0.01 * rng.standard_normal(16)]),
+            (2, [float(x) for x in rng.standard_normal(16)])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_near_dup_pairs(emb, tau=0.95, dim=16,
+                                              n_planes=4).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_multimodal_stub_plumbing(spark):
+    rows = [(1, "image", bytearray(b"\x89PNGfake"), "image/png"),
+            (2, "video", bytearray(b"RIFFfake" * 10), "video/avi"),
+            (3, "audio", bytearray(b""), "audio/wav")]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media).collect()
+    feats = multimodal.decode_media(media, fake=True)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert got[1]["n_bytes"] == 8 and got[1]["n_frames"] == 1
+    assert got[2]["kind"] == "video" and got[2]["n_frames"] >= 1
+    # deterministic
+    again = {r["media_id"]: r for r in
+             multimodal.decode_media(media, fake=True).collect()}
+    assert got == again
+    frames = multimodal.frame_sample(feats, every_n=4).collect()
+    assert all(r["frame_idx"] % 4 == 0 for r in frames)
