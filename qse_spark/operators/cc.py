@@ -72,9 +72,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     cur = (edges.select("src", "dst")
            .filter(F.col("src") != F.col("dst"))
            .distinct().localCheckpoint(eager=True))
+    prev_fp = _fingerprint(cur)
+    # small graphs: shrink to a few partitions so each of the O(log n)
+    # rounds costs milliseconds instead of a 2x-shuffle-partitions task storm
+    npart = max(1, min(cur.sparkSession.sparkContext.defaultParallelism,
+                       prev_fp[0] // 100_000 + 1))
     prev_fp = None
     for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = (_small_star(_large_star(cur)).coalesce(npart)
+               .localCheckpoint(eager=True))
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break

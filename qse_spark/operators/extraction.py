@@ -41,23 +41,35 @@ TRIPLE_SCHEMA = StructType([
 
 _NAME = r"[A-Za-z][A-Za-z .]*?"
 
-# (predicate, regex, subj_class, obj_class, obj_kind)
+# (predicate, needle, regex, subj_class, obj_class, obj_kind)
+# `needle` is a literal substring prefilter: the (cheap, C-level,
+# non-regex) `Series.str.contains` gates which rows each template's regex
+# actually runs on — an order-of-magnitude cut in regex work per batch.
 # obj_kind "iri" objects are mentions (normalized); literals pass through.
 TEMPLATES = [
-    ("worksAt", rf"^({_NAME}) works at ({_NAME})\.$", "Person", "Company", "iri"),
-    ("locatedIn", rf"^({_NAME}) is located in ({_NAME})\.$", "Company", "City", "iri"),
-    ("collaboratesWith", rf"^({_NAME}) collaborates with ({_NAME})\.$",
-     "Person", "Person", "iri"),
-    ("age", rf"^({_NAME}) is (\d+) years old\.$", "Person", None, "integer"),
-    ("joinedOn", rf"^({_NAME}) joined on (\d{{4}}-\d{{2}}-\d{{2}})\.$",
+    ("worksAt", " works at ",
+     rf"^({_NAME}) works at ({_NAME})\.$", "Person", "Company", "iri"),
+    ("locatedIn", " is located in ",
+     rf"^({_NAME}) is located in ({_NAME})\.$", "Company", "City", "iri"),
+    ("collaboratesWith", " collaborates with ",
+     rf"^({_NAME}) collaborates with ({_NAME})\.$", "Person", "Person", "iri"),
+    ("age", " years old",
+     rf"^({_NAME}) is (\d+) years old\.$", "Person", None, "integer"),
+    ("joinedOn", " joined on ",
+     rf"^({_NAME}) joined on (\d{{4}}-\d{{2}}-\d{{2}})\.$",
      "Person", None, "date"),
-    ("greeting", rf"^({_NAME}) greeted in ([a-z]{{2}}): \"([a-z]+)\"\.$",
+    ("greeting", " greeted in ",
+     rf"^({_NAME}) greeted in ([a-z]{{2}}): \"([a-z]+)\"\.$",
      "Person", None, "langString"),
-    ("motto", rf"^({_NAME}) motto is \"([a-z ]+)\"\.$", "Company", None, "string"),
-    ("contributesTo", rf"^({_NAME}) contributes to ({_NAME})\.$",
+    ("motto", " motto is ",
+     rf"^({_NAME}) motto is \"([a-z ]+)\"\.$", "Company", None, "string"),
+    ("contributesTo", " contributes to ",
+     rf"^({_NAME}) contributes to ({_NAME})\.$",
      "Person", None, "iri"),  # object stays untyped -> undefined objType
-    (TYPE_PREDICATE, rf"^({_NAME}) is an employee\.$", "Person", "__EMPLOYEE__", None),
-    ("returnedStatus", r"^([a-z_]+) returned status (\d+)\.$", "Tool", None, "integer"),
+    (TYPE_PREDICATE, " is an employee",
+     rf"^({_NAME}) is an employee\.$", "Person", "__EMPLOYEE__", None),
+    ("returnedStatus", " returned status ",
+     r"^([a-z_]+) returned status (\d+)\.$", "Tool", None, "integer"),
 ]
 
 
@@ -74,14 +86,20 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out = []
     text = pdf["text"].fillna("")
     unmatched = pd.Series(True, index=pdf.index)
-    for pred, rx, subj_cls, obj_cls, obj_kind in TEMPLATES:
-        ext = text.str.extract(rx)
-        hit = ext[0].notna() & unmatched
-        if not hit.any():
+    for pred, needle, rx, subj_cls, obj_cls, obj_kind in TEMPLATES:
+        gate = unmatched & text.str.contains(needle, regex=False)
+        if not gate.any():
             continue
+        ext = text[gate].str.extract(rx)
+        hit_local = ext[0].notna()
+        if not hit_local.any():
+            continue
+        ext = ext[hit_local]
+        hit = pd.Series(False, index=pdf.index)
+        hit[ext.index] = True
         unmatched &= ~hit
         sub = pdf.loc[hit, ["conv_id", "turn_idx"]].reset_index(drop=True)
-        s_norm = _norm_series(ext.loc[hit, 0].reset_index(drop=True))
+        s_norm = _norm_series(ext[0].reset_index(drop=True))
 
         def emit(subject, predicate, obj, kind):
             out.append(pd.DataFrame({
@@ -95,16 +113,16 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             emit(s_norm, TYPE_PREDICATE, "Employee", "iri")
             continue
         if obj_kind == "iri":
-            o_norm = _norm_series(ext.loc[hit, 1].reset_index(drop=True))
+            o_norm = _norm_series(ext[1].reset_index(drop=True))
             if obj_cls:
                 emit(o_norm, TYPE_PREDICATE, obj_cls, "iri")
             emit(s_norm, pred, o_norm, "iri")
         elif pred == "greeting":
-            lang = ext.loc[hit, 1].reset_index(drop=True)
-            word = ext.loc[hit, 2].reset_index(drop=True)
+            lang = ext[1].reset_index(drop=True)
+            word = ext[2].reset_index(drop=True)
             emit(s_norm, pred, word + "@" + lang, "langString")
         else:
-            emit(s_norm, pred, ext.loc[hit, 1].reset_index(drop=True), obj_kind)
+            emit(s_norm, pred, ext[1].reset_index(drop=True), obj_kind)
     if not out:
         return pd.DataFrame({f.name: pd.Series(dtype="object" if f.dataType == StringType() else "int32")
                              for f in TRIPLE_SCHEMA.fields})

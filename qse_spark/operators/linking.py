@@ -152,6 +152,14 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
               .withColumn("sh", shingles_col("core"))
               .withColumn("n", F.size("sh"))
               .persist())
+    # adaptive width: the core dimension is usually orders of magnitude
+    # smaller than the corpus (vocabulary vs occurrences); collapse it so
+    # the ~8 tiny LSH stages don't each pay a full-width shuffle. The count
+    # is one cheap action against the cached table.
+    n_cores = sh_dim.count()
+    npart = max(1, min(mentions.sparkSession.sparkContext.defaultParallelism,
+                       n_cores // 50_000 + 1))
+    sh_dim = sh_dim.coalesce(npart).persist()
     core_node = F.concat(F.lit("\x7f"), F.col("core"))
     proj = cores.select(F.col("mention_id").alias("src"),
                         core_node.alias("dst"),

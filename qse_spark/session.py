@@ -19,24 +19,69 @@ def get_spark(master: str | None = None, app_name: str = "qse-spark",
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    executor_mem = None
     if shuffle_partitions is None:
-        # local[N] → N; on a real cluster pass 2-3x total cores explicitly.
         inner = master[master.find("[") + 1:master.find("]")] if "[" in master else "4"
-        shuffle_partitions = (os.cpu_count() or 8) if inner == "*" else int(inner)
+        if master.startswith("local-cluster"):
+            # local-cluster[n_exec, cores, mem_mb]: n separate executor JVMs
+            # — the sandbox's truest model of multi-executor scaling
+            n_exec, cores, mem_mb = [int(x) for x in inner.split(",")]
+            shuffle_partitions = n_exec * cores
+            executor_mem = f"{mem_mb}m"
+        elif inner == "*":
+            shuffle_partitions = os.cpu_count() or 8
+        else:
+            shuffle_partitions = int(inner)
 
+    # shuffle/spill on tmpfs when available: on this single-node sandbox the
+    # NVMe is shared with co-tenants and becomes the scaling bottleneck; a
+    # real cluster would use per-executor local SSDs instead
+    local_dir = os.environ.get("QSE_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/qse-spark-local"
     builder = (
         SparkSession.builder.master(master).appName(app_name)
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("QSE_SPARK_DRIVER_MEM", "8g"))
+        # local mode: every executor thread shares the driver JVM — size the
+        # heap for the thread count or wide shuffles GC-thrash (128 GiB box)
+        .config("spark.driver.memory",
+                os.environ.get("QSE_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if executor_mem:
+        builder = builder.config("spark.executor.memory", executor_mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if master.startswith("local-cluster") or master.startswith("spark://"):
+        # multi-executor deployment: ship the package like
+        # `spark-submit --py-files qse_spark.zip` would
+        spark.sparkContext.addPyFile(_package_zip())
+    return spark
+
+
+def _package_zip() -> str:
+    """Zip the qse_spark package for executor distribution."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join("/tmp", "qse_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join("qse_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    return out

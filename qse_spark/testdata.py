@@ -197,10 +197,12 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
              n_persons: int | None = None, n_orgs: int | None = None,
              n_cities: int | None = None, n_projects: int | None = None) -> str:
     """Generate the fixture; returns the output directory."""
-    n_persons = n_persons or max(20, min(800, n_turns // 40))
-    n_orgs = n_orgs or max(10, min(600, n_turns // 60))
-    n_cities = n_cities or max(8, min(400, n_turns // 80))
-    n_projects = n_projects or max(5, min(200, n_turns // 100))
+    # entity-world caps bounded by the greedy coined-word pool (~6.5k words
+    # at the 0.3 separation threshold -> <=6k words = 3k entities)
+    n_persons = n_persons or max(20, min(1400, n_turns // 40))
+    n_orgs = n_orgs or max(10, min(900, n_turns // 60))
+    n_cities = n_cities or max(8, min(450, n_turns // 80))
+    n_projects = n_projects or max(5, min(250, n_turns // 100))
     world = World(seed, n_persons, n_orgs, n_cities, n_projects)
     rng = np.random.default_rng(seed + 1)
 
@@ -386,7 +388,7 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"seed": seed, "n_turns": n_turns, "n_persons": n_persons,
                    "n_orgs": n_orgs, "n_cities": n_cities,
-                   "n_projects": n_projects, "version": 3}, f)
+                   "n_projects": n_projects, "version": 4}, f)
     return out_dir
 
 
@@ -396,6 +398,6 @@ def ensure_fixture(seed: int = 42, n_turns: int = 2000) -> str:
     meta = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta):
         with open(meta) as f:
-            if json.load(f).get("version") == 3:
+            if json.load(f).get("version") == 4:
                 return out_dir
     return generate(seed=seed, n_turns=n_turns, out_dir=out_dir)

@@ -1,0 +1,104 @@
+"""Two-cluster-size scaling evidence (north rule: throughput efficiency
+>= 0.8 from N to 4N executors, evidenced as local-cluster[1,4] vs local-cluster[4,4] (separate executor JVMs) on
+identical input — no real cluster in this sandbox).
+
+Runs bench.py in fresh subprocesses (separate JVMs, so the two runs cannot
+share executors or JIT state), computes per-stage and end-to-end scaling
+efficiency, and rewrites the scaling section of BENCH_SCALING.md.
+
+Usage: python scripts/bench_scaling.py [n_turns] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(n_exec: int, n_turns: int, sf_dir: str, replicate: int,
+        repeats: int = 2) -> dict:
+    # N separate executor JVMs x 4 cores x 12 GiB — the honest sandbox model
+    # of "N executors": independent heaps/GC/block managers, netty shuffle.
+    # SPARK_LOCAL_DIRS pins executor shuffle/spill to tmpfs (standalone
+    # workers override spark.local.dir); best-of-K defeats the sandbox's
+    # erratic co-tenant IO stalls.
+    env = dict(os.environ,
+               QSE_BENCH_MASTER=f"local-cluster[{n_exec},4,12288]",
+               SPARK_GRAFT_CPUS=str(n_exec * 4),
+               SPARK_GRAFT_SF_DIR=sf_dir, QSE_BENCH_TURNS=str(n_turns),
+               QSE_BENCH_REPLICATE=str(replicate),
+               QSE_SPARK_DRIVER_MEM="8g",
+               SPARK_LOCAL_DIRS="/dev/shm/qse-spark-local",
+               QSE_BENCH_PIPELINE_ONLY="1")
+    best = None
+    for _ in range(repeats):
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             timeout=3600, check=True)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith('{"metric"')][-1]
+        r = json.loads(line)
+        if best is None or r["value"] < best["value"]:
+            best = r
+    return best
+
+
+def main():
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    lo, hi = 1, 4                      # executors (x4 cores each): N vs 4N
+    r_lo = run(lo, n_turns, sf_dir, replicate)
+    r_hi = run(hi, n_turns, sf_dir, replicate)
+    n_turns *= replicate
+    thr_lo = r_lo["throughput"]["turns_per_sec"]
+    thr_hi = r_hi["throughput"]["turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    report = {
+        "n_turns": n_turns,
+        "local_low": {"cpus": lo, "e2e_sec": r_lo["value"],
+                      "turns_per_sec": thr_lo, "stages": r_lo["queries"]},
+        "local_high": {"cpus": hi, "e2e_sec": r_hi["value"],
+                       "turns_per_sec": thr_hi, "stages": r_hi["queries"]},
+        "speedup": round(thr_hi / thr_lo, 3),
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report, indent=1))
+    md = [
+        "# BENCH_SCALING — two-parallelism throughput evidence",
+        "",
+        f"Same job (full KG pipeline), identical input ({n_turns:,} turns,",
+        "deterministic fixture seed 42), two parallelism levels in separate",
+        "JVMs. Sandbox stand-in for N vs 4N executors per BASELINE.json.",
+        "",
+        "| executors×cores | e2e sec | turns/sec | extract | linking | cc | canon | stats |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r, c in [(r_lo, lo), (r_hi, hi)]:
+        s = r["queries"]
+        md.append(f"| local-cluster[{c}x4] | {r['value']} | "
+                  f"{r['throughput']['turns_per_sec']} | {s['p1_extract']} | "
+                  f"{s['p2_linking']} | {s['p3_cc']} | {s['p4_canonicalize']} "
+                  f"| {s['p5_stats']} |")
+    md += [
+        "",
+        f"**Speedup {lo}→{hi} executors: {report['speedup']}x; scaling "
+        f"efficiency {report['scaling_efficiency']} "
+        f"({'PASS' if report['pass'] else 'BELOW'} the ≥0.8 criterion).**",
+        "",
+        "```json",
+        json.dumps(report),
+        "```",
+    ]
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+
+
+if __name__ == "__main__":
+    main()
