@@ -79,12 +79,14 @@ def main():
         in_path = big
         n_turns *= replicate
 
-    # warm-up: spin up python workers + JIT before the timed section
-    # (steady-state throughput; cluster warm-up is a one-time cost)
-    spark.read.parquet(in_path).limit(50_000) \
-        .mapInPandas(lambda it: it, "conv_id string, turn_idx int, "
-                     "role string, text string, tool string, ts timestamp") \
-        .count()
+    # warm-up: one task per slot spins up EVERY python worker (limit(...)
+    # would warm a single worker and leave the rest to start inside the
+    # timed section), plus one tiny shuffle to open the netty channels.
+    # Steady-state throughput; cluster warm-up is a one-time cost.
+    slots = spark.sparkContext.defaultParallelism
+    (spark.range(slots * 4, numPartitions=slots * 4)
+     .mapInPandas(lambda it: it, "id long")
+     .groupBy((F.col("id") % 8).alias("k")).count().count())
 
     # --- headline: end-to-end pipeline, stage-by-stage timing ---
     t0 = time.time()

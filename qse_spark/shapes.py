@@ -139,6 +139,60 @@ def annotate_sh_node(prop_shapes: DataFrame, nodes: DataFrame) -> DataFrame:
             .drop("_c", "_cls"))
 
 
+def shape_metrics_df(stats: DataFrame,
+                     type_predicate: str = TYPE_PREDICATE) -> DataFrame:
+    """S15 as a single-row DataFrame (no driver collect) — the reference's
+    COUNT/AVG/MIN/MAX statistics grid (`ShapesExtractor.java:1041-1087`)
+    computed straight from the stats table, SQL-oracle-able."""
+    rows = stats.withColumn("kind", _constraint_kind(type_predicate))
+    pairs = (rows.groupBy("class", "property")
+             .agg(F.max(F.when(F.col("support") == F.col("class_count"), 1)
+                        ).alias("_min_by_support"),
+                  F.max("max_count").alias("_max"),
+                  F.count("*").alias("_n"),
+                  F.max(F.when(F.col("obj_type") == UNDEFINED_OBJECT_TYPE, 1)
+                        ).alias("_undef")))
+    pair_agg = pairs.agg(
+        F.count("*").alias("property_shapes"),
+        F.sum(F.when((F.col("_min_by_support") == 1)
+                     | ((F.col("_n") == 1) & (F.col("_undef") == 1)), 1)
+              .otherwise(0)).alias("min_count_constraints"),
+        F.sum(F.when(F.col("_max") == 1, 1).otherwise(0))
+        .alias("max_count_constraints"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("sh_or_shapes"))
+    per_ns = (pairs.groupBy("class").count()
+              .agg(F.count("*").alias("node_shapes"),
+                   F.round(F.avg("count"), 6).alias("avg_ps_per_ns"),
+                   F.min("count").alias("min_ps_per_ns"),
+                   F.max("count").alias("max_ps_per_ns")))
+    kind_agg = rows.agg(
+        F.sum(F.when(F.col("kind") == "class", 1).otherwise(0))
+        .alias("class_constraints"),
+        F.sum(F.when(F.col("kind") == "datatype", 1).otherwise(0))
+        .alias("literal_constraints"),
+        F.sum(F.when(F.col("kind") == "nodeKind", 1).otherwise(0))
+        .alias("undefined_constraints"))
+    return (per_ns.crossJoin(pair_agg).crossJoin(kind_agg)
+            .select("node_shapes", "property_shapes", "class_constraints",
+                    "literal_constraints", "undefined_constraints",
+                    "min_count_constraints", "max_count_constraints",
+                    "sh_or_shapes", "avg_ps_per_ns", "min_ps_per_ns",
+                    "max_ps_per_ns"))
+
+
+def min_cardinality(stats: DataFrame, confidence: float,
+                    support: int) -> DataFrame:
+    """V3 — min-cardinality experiment (`MinCardinalityExperiment.java:
+    182-199`): no rows are pruned; instead each (class, prop, objType)
+    gets sh:minCount 1 iff support > S AND confidence > C (the default
+    variant `:146-149` uses support == classInstanceCount, which is the
+    regular min_count column)."""
+    return stats.withColumn(
+        "min_count_exp",
+        F.when((F.col("support") > support)
+               & (F.col("confidence") > confidence), 1).cast("int"))
+
+
 def shape_metrics(nodes: DataFrame, props: DataFrame) -> dict:
     """S15 — the reference's COUNT/AVG/MIN/MAX statistics grid."""
     n_ns = nodes.count()

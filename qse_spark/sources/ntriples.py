@@ -24,6 +24,37 @@ _O = r"(?:<([^>]*)>|(_:\S+)|\"((?:[^\"\\]|\\.)*)\"(?:@([A-Za-z\-]+)|\^\^<([^>]*)
 _NT = _S + _P + _O
 
 
+def write_ntriples(triples: DataFrame, path: str,
+                   iri_prefix: str = "http://ex.org/") -> None:
+    """S17 sink twin of read_ntriples: serialize a
+    (subject, predicate, object, obj_kind) table as N-Triples text.
+    All IRI-kind terms get `iri_prefix`; literal kinds render as typed /
+    language-tagged literals. Native expressions only, splittable output
+    (one shard per partition). Roundtrips through read_ntriples."""
+    _XSD = "http://www.w3.org/2001/XMLSchema#"
+    esc = F.regexp_replace(F.regexp_replace(F.col("object"), r"\\", r"\\\\"),
+                           '"', '\\\\"')
+    # langString objects arrive as "word@lang" — split at the LAST '@'
+    lang_word = F.regexp_extract(F.col("object"), r"^(.*)@([A-Za-z\-]+)$", 1)
+    lang_tag = F.regexp_extract(F.col("object"), r"^(.*)@([A-Za-z\-]+)$", 2)
+    obj_term = (
+        F.when(F.col("obj_kind") == "iri",
+               F.concat(F.lit("<" + iri_prefix), F.col("object"), F.lit(">")))
+        .when(F.col("obj_kind") == "integer",
+              F.concat(F.lit('"'), F.col("object"),
+                       F.lit(f'"^^<{_XSD}integer>')))
+        .when(F.col("obj_kind") == "date",
+              F.concat(F.lit('"'), F.col("object"),
+                       F.lit(f'"^^<{_XSD}date>')))
+        .when(F.col("obj_kind") == "langString",
+              F.concat(F.lit('"'), lang_word, F.lit('"@'), lang_tag))
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"'))))
+    line = F.concat(F.lit("<" + iri_prefix), F.col("subject"), F.lit("> <"),
+                    F.lit(iri_prefix), F.col("predicate"), F.lit("> "),
+                    obj_term, F.lit(" ."))
+    triples.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """Parse an N-Triples file into (subject, predicate, object, obj_kind)."""
     raw = spark.read.text(path)

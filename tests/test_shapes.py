@@ -115,3 +115,25 @@ def test_precision_recall(spark):
     pr = precision_recall(a, b)
     assert abs(pr["precision"] - 2 / 3) < 1e-9
     assert abs(pr["recall"] - 2 / 3) < 1e-9
+
+
+def test_shape_metrics_df_matches_dict(spark):
+    from qse_spark.shapes import shape_metrics_df
+    st = _stats(spark)
+    row = shape_metrics_df(st).collect()[0].asDict()
+    m = shape_metrics(node_shapes(st), property_shapes(st))
+    for key in ("node_shapes", "property_shapes", "class_constraints",
+                "literal_constraints", "undefined_constraints",
+                "min_count_constraints", "max_count_constraints",
+                "sh_or_shapes", "min_ps_per_ns", "max_ps_per_ns"):
+        assert row[key] == m[key], key
+    assert abs(row["avg_ps_per_ns"] - m["avg_ps_per_ns"]) < 1e-6
+
+
+def test_min_cardinality_rule(spark):
+    from qse_spark.shapes import min_cardinality
+    st = _stats(spark)
+    out = min_cardinality(st, 0.5, 1)
+    for r in out.collect():
+        expected = 1 if (r["support"] > 1 and r["confidence"] > 0.5) else None
+        assert r["min_count_exp"] == expected, r

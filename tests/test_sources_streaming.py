@@ -68,3 +68,28 @@ def test_streaming_extraction_parity(spark, fixture_dir, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from qse_spark.sources.ntriples import write_ntriples
+    rows = [
+        ("alice", "rdf:type", "Person", "iri"),
+        ("alice", "age", "34", "integer"),
+        ("alice", "joinedOn", "2001-02-03", "date"),
+        ("alice", "greeting", "hola@es", "langString"),
+        ("acme", "motto", "just works", "string"),
+        ("alice", "worksAt", "acme", "iri"),
+    ]
+    df = spark.createDataFrame(rows, ["subject", "predicate", "object",
+                                      "obj_kind"])
+    out = str(tmp_path / "rt_nt")
+    write_ntriples(df, out)
+    back = read_ntriples(spark, out)
+    strip = lambda c: F.regexp_replace(c, "^http://ex.org/", "")  # noqa: E731
+    got = {tuple(r) for r in back.select(
+        strip("subject"), strip("predicate"),
+        F.when(F.col("obj_kind") == "iri", strip("object"))
+        .otherwise(F.col("object")), "obj_kind").collect()}
+    assert got == set(rows)
