@@ -158,7 +158,8 @@ def max_count_flags(cardinality: DataFrame, entity_types: DataFrame) -> DataFram
 
 
 def shape_stats(triples: DataFrame,
-                type_predicate: str = TYPE_PREDICATE) -> DataFrame:
+                type_predicate: str = TYPE_PREDICATE,
+                cache_intermediates: bool = False) -> DataFrame:
     """The full QSE statistics table from a raw triple table:
 
     (class, property, obj_type, support, class_count, confidence,
@@ -168,12 +169,42 @@ def shape_stats(triples: DataFrame,
     the shape layer additionally forces minCount for a sole undefined
     objType (`ShapesExtractor.java:502-505`) — that is shape construction,
     not statistics, and lives in shapes.py.
+
+    Physical shape (the 100 TB concern): the input is consumed by exactly
+    three scan branches — the type pass (etypes) and the iri/literal halves
+    of the tagging union — matching the reference's 2-3 file passes
+    (`Parser.java:78-90`). Everything downstream works on `epo`, the
+    per-(entity, property, obj_type) aggregate, which is orders of
+    magnitude smaller than the triple table; support and max-count both
+    derive from ONE epo ⋈ etypes join, so no subtree is recomputed per
+    output column. cache_intermediates=True persists etypes + epo for
+    multi-action consumers (caller owns unpersist via the returned
+    DataFrames' lineage).
     """
     etypes = entity_types_df(triples, type_predicate)
+    if cache_intermediates:
+        etypes = etypes.persist()
     ccounts = class_counts_df(etypes)
-    constraints, cardinality = entity_constraints(triples, etypes)
-    sup = shape_support(constraints, etypes, ccounts)
-    maxc = max_count_flags(cardinality, etypes)
+    rows = tagged_constraint_rows(triples, etypes)
+    epo = (rows.groupBy("entity", "property", "obj_type")
+           .agg(F.sum("weight").alias("_w_cnt")))
+    if cache_intermediates:
+        epo = epo.persist()
+    j = epo.join(etypes, "entity")
+    sup = (j.groupBy("class", "property", "obj_type")
+           .agg(F.count("*").alias("support"))
+           .join(F.broadcast(ccounts), "class")
+           .withColumn("confidence",
+                       F.col("support") / F.col("class_count")))
+    # per-(class, entity, property) cardinality = sum over obj_types, then
+    # exists-semantics min per (class, property) (StatsComputer.java:47-56)
+    maxc = (j.groupBy("class", "entity", "property")
+            .agg(F.sum("_w_cnt").alias("_cnt"))
+            .groupBy("class", "property")
+            .agg(F.min("_cnt").alias("_min_cnt"))
+            .select("class", "property",
+                    F.when(F.col("_min_cnt") <= 1, F.lit(1))
+                    .otherwise(F.lit(None).cast("int")).alias("max_count")))
     return (sup
             .join(maxc, ["class", "property"], "left")
             .withColumn("min_count",

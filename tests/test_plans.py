@@ -1,0 +1,88 @@
+"""Physical-plan audits — the 100 TB design checks.
+
+Catalyst must actually deliver what the declarative code promises: type
+filters pushed into the parquet scan, projection pruning at the file
+source, the canonical-ID dictionary joined via broadcast (never a shuffle
+of the triple table), and the stats kernel inside whole-stage codegen.
+These are the properties that decide whether the same plan survives a
+1000-executor 100 TB run, so they are asserted, not eyeballed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qse_spark.operators.extraction import extract_triples
+from qse_spark.pipeline import canonicalize_triples
+from qse_spark.plans import (assert_broadcast_join, assert_pushed_filters,
+                             assert_read_schema_only, plan_summary)
+from qse_spark.stats import entity_types_df, shape_stats
+
+ROWS = [
+    ("e1", "rdf:type", "A", "iri"),
+    ("e1", "p", "o1", "iri"),
+    ("o1", "rdf:type", "B", "iri"),
+    ("e1", "q", "5", "integer"),
+]
+
+
+@pytest.fixture(scope="module")
+def triples_pq(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "triples.parquet")
+    spark.createDataFrame(ROWS, ["subject", "predicate", "object",
+                                 "obj_kind"]).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_type_filter_pushed_to_scan(triples_pq):
+    df = entity_types_df(triples_pq)
+    assert_pushed_filters(df, "rdf:type")
+
+
+def test_entity_types_prunes_columns(triples_pq):
+    # entity/class projection must not drag object_kind etc. through the scan
+    df = entity_types_df(triples_pq)
+    assert_read_schema_only(df, {"subject", "predicate", "object"})
+
+
+def test_extraction_scan_prunes_to_three_columns(spark, fixture_dir):
+    t = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    out = extract_triples(t)
+    assert_read_schema_only(out, {"conv_id", "turn_idx", "text"})
+
+
+def test_canonicalize_uses_broadcast_joins(spark, triples_pq):
+    cmap = spark.createDataFrame([("e1", "c1"), ("o1", "c2")],
+                                 ["mention_id", "canonical_id"])
+    out = canonicalize_triples(triples_pq, cmap)
+    assert_broadcast_join(out, min_count=2)
+    # the big triple table must NOT be shuffled for the join itself —
+    # only the final groupBy exchange remains after AQE planning
+    s = plan_summary(out)
+    assert s["sortmerge_joins"] == 0
+
+
+def test_kernel_in_codegen(triples_pq):
+    # AQE finalizes join strategies + codegen only at execution time
+    from qse_spark.plans import executed_summary
+    st = shape_stats(triples_pq)
+    s = executed_summary(st)
+    assert s["codegen_spans"] >= 1, s
+    # hash aggregation, not sort-based
+    from qse_spark.plans import explain_str
+    assert "HashAggregate" in explain_str(st)
+
+
+def test_kernel_scan_parity_with_reference(triples_pq):
+    """With cached intermediates the kernel scans the triple table exactly
+    3x (type pass + iri half + literal half of the tagging union) — the
+    reference's own 2-3 file passes (Parser.java:78-90). Everything else
+    reads the far smaller cached etypes/epo tables."""
+    st = shape_stats(triples_pq, cache_intermediates=True)
+    s = plan_summary(st)
+    assert s["scans"] == 3, s
+    assert s["inmemory_scans"] >= 2, s
+    # uncached variant must still be bounded (subtree duplication, not
+    # O(columns) rescans); Catalyst exchange reuse dedupes at runtime
+    s2 = plan_summary(shape_stats(triples_pq))
+    assert s2["scans"] <= 9, s2
