@@ -29,7 +29,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from qse_spark.operators import dedup, similarity  # noqa: E402
 from qse_spark.oracles import TPCH_TRIPLES_SQL  # noqa: E402
-from qse_spark.pipeline import (PipelineConfig, canonicalize_triples)  # noqa: E402
+from qse_spark.pipeline import (PipelineConfig,  # noqa: E402
+                                canonicalize_triples, group_triples)
 from qse_spark.operators.cc import canonical_map  # noqa: E402
 from qse_spark.operators.extraction import (extract_triples,  # noqa: E402
                                             mentions_from_triples)
@@ -89,15 +90,19 @@ def main():
      .groupBy((F.col("id") % 8).alias("k")).count().count())
 
     # --- headline: end-to-end pipeline, stage-by-stage timing ---
+    # extract + group fuse into ONE pass over the corpus (map-side combine
+    # into the distinct-triple table); every later stage touches only the
+    # vocabulary-sized aggregate — the shape that holds at 10^12 turns.
     t0 = time.time()
     transcripts = spark.read.parquet(in_path)
     triples = extract_triples(transcripts, salt=cfg.salt)
-    triples = triples.persist()
-    n_triples = triples.count()
-    q["p1_extract"] = time.time() - t0
+    groups = group_triples(triples).persist()
+    groups.count()
+    q["p1_extract_group"] = time.time() - t0
+    n_triples = int(groups.agg(F.sum("cnt")).collect()[0][0])
 
     t = time.time()
-    links = linking_edges(mentions_from_triples(triples), tau=cfg.tau,
+    links = linking_edges(mentions_from_triples(groups), tau=cfg.tau,
                           bands=cfg.bands, rows=cfg.rows_per_band,
                           max_block=cfg.max_block).persist()
     links.count()
@@ -109,7 +114,7 @@ def main():
     q["p3_cc"] = time.time() - t
 
     t = time.time()
-    canon = canonicalize_triples(triples, cmap).persist()
+    canon = canonicalize_triples(groups, cmap).persist()
     n_canon = canon.count()
     q["p4_canonicalize"] = time.time() - t
 
@@ -132,7 +137,7 @@ def main():
             "throughput": {
                 "turns_per_sec": round(n_turns / e2e, 1),
                 "triples_per_sec": round(n_triples / e2e, 1),
-                "extract_triples_per_sec": round(n_triples / q["p1_extract"], 1),
+                "extract_triples_per_sec": round(n_triples / q["p1_extract_group"], 1),
             },
         }
         spark.stop()
@@ -180,7 +185,7 @@ def main():
         "throughput": {
             "turns_per_sec": round(n_turns / e2e, 1),
             "triples_per_sec": round(n_triples / e2e, 1),
-            "extract_triples_per_sec": round(n_triples / q["p1_extract"], 1),
+            "extract_triples_per_sec": round(n_triples / q["p1_extract_group"], 1),
         },
     }
     spark.stop()

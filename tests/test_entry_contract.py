@@ -45,8 +45,8 @@ def test_every_query_has_unique_columns(spark):
 def test_query_matches_oracle(spark, duck_views, name):
     # NOTE: oracle fixture paths are sf0.01-pinned (driver runs there); at
     # sf0.001 only non-fixture oracles are value-checked.
-    if name.startswith("kg_"):
-        pytest.skip("kg_* oracles pinned to the sf0.01 fixture "
+    if name.startswith("kg_") or name == "src_ntriples_roundtrip":
+        pytest.skip("fixture-pinned oracles target the sf0.01 fixture "
                     "(covered by tools/check_oracles.py + test_pipeline)")
     fn = entry.queries()[name]
     ok, msg = compare(name, fn(spark, SF), entry.oracle_sql().get(name),

@@ -81,3 +81,30 @@ def test_blocking_report_flags_hot_blocks(spark):
         [(f"w{i:03d}_samecore",) for i in range(40)], ["core"])
     rep = blocking_report(cores, max_block=5)
     assert rep.count() == 0 or rep.toPandas()["count"].max() <= 40
+
+
+def test_cc_distributed_path_equals_driver_path(spark):
+    import random
+    rng = random.Random(7)
+    edges = [(f"v{rng.randrange(200):03d}", f"v{rng.randrange(200):03d}")
+             for _ in range(300)]
+    df = spark.createDataFrame(edges, ["src", "dst"]) \
+        .filter(F.col("src") != F.col("dst"))
+    dist = sorted(map(tuple,
+                      connected_components(df, driver_threshold=0).collect()))
+    drv = sorted(map(tuple, connected_components(df).collect()))
+    assert dist == drv and len(dist) > 0
+
+
+def test_cc_distributed_permutation_invariant(spark):
+    edges = [("b", "a"), ("c", "b"), ("x", "y"), ("z", "x"), ("q", "q2")]
+    outs = []
+    for seed in (0, 1):
+        df = (spark.createDataFrame(edges, ["src", "dst"])
+              .orderBy(F.md5(F.concat(F.col("src"), F.lit(str(seed)))))
+              .repartition(3 + seed))
+        outs.append(sorted(map(tuple, connected_components(
+            df, driver_threshold=0).collect())))
+    assert outs[0] == outs[1]
+    comp = dict(outs[0])
+    assert comp["c"] == "a" and comp["z"] == "x" and comp["a"] == "a"
