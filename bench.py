@@ -30,10 +30,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from qse_spark.operators import dedup, similarity  # noqa: E402
 from qse_spark.oracles import TPCH_TRIPLES_SQL  # noqa: E402
 from qse_spark.pipeline import (PipelineConfig,  # noqa: E402
-                                canonicalize_triples, group_triples)
+                                canonicalize_triples)
 from qse_spark.operators.cc import canonical_map  # noqa: E402
-from qse_spark.operators.extraction import (extract_triples,  # noqa: E402
-                                            mentions_from_triples)
+from qse_spark.operators.extraction import (  # noqa: E402
+    extract_triple_groups, mentions_from_triples)
 from qse_spark.operators.linking import linking_edges  # noqa: E402
 from qse_spark.session import get_spark  # noqa: E402
 from qse_spark.stats import shape_stats  # noqa: E402
@@ -61,7 +61,10 @@ def main():
     cfg = PipelineConfig(salt=0)
 
     in_path = os.path.join(fx, "transcripts.parquet")
-    if replicate > 1:
+    if replicate >= 1:
+        # replicate == 1 still rewrites the input as a 64-file dir: the
+        # generator emits ONE parquet file and a single-file scan caps the
+        # extraction stage at one task per row group
         # tmpfs-backed bench input: the sandbox's virtual disk has erratic
         # co-tenant-driven latency that would otherwise dominate the
         # measurement (a real cluster reads from distributed storage)
@@ -79,6 +82,16 @@ def main():
              .write.mode("overwrite").parquet(big))
         in_path = big
         n_turns *= replicate
+        # one FILE per scan task: packing several python-heavy files into a
+        # 128 MB partition creates coarse waves whose stragglers idle
+        # executors at the stage tail (measured 13% on 4 executors);
+        # per-file tasks keep every worker busy to the end
+        import glob as _glob
+        fsz = max((os.path.getsize(p) for p in
+                   _glob.glob(os.path.join(big, "part-*"))), default=0)
+        if fsz:
+            spark.conf.set("spark.sql.files.maxPartitionBytes",
+                           str(fsz + 1024 * 1024))
 
     # warm-up: one task per slot spins up EVERY python worker (limit(...)
     # would warm a single worker and leave the rest to start inside the
@@ -95,8 +108,7 @@ def main():
     # vocabulary-sized aggregate — the shape that holds at 10^12 turns.
     t0 = time.time()
     transcripts = spark.read.parquet(in_path)
-    triples = extract_triples(transcripts, salt=cfg.salt)
-    groups = group_triples(triples).persist()
+    groups = extract_triple_groups(transcripts, salt=cfg.salt).persist()
     groups.count()
     q["p1_extract_group"] = time.time() - t0
     n_triples = int(groups.agg(F.sum("cnt")).collect()[0][0])

@@ -25,8 +25,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (IntegerType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 from ..constants import TYPE_PREDICATE
 
@@ -149,6 +149,43 @@ def extract_triples(transcripts: DataFrame, salt: int = 0) -> DataFrame:
         df = df.repartition(n, "conv_id",
                             F.pmod(F.xxhash64("turn_idx"), F.lit(salt)))
     return df.mapInPandas(_extract_iter, TRIPLE_SCHEMA)
+
+
+GROUP_SCHEMA = StructType([
+    StructField("subject", StringType()),
+    StructField("predicate", StringType()),
+    StructField("object", StringType()),
+    StructField("obj_kind", StringType()),
+    StructField("cnt", LongType()),
+])
+
+
+def _extract_group_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = _extract_batch(pdf)
+        g = (rows.groupby(["subject", "predicate", "object", "obj_kind"],
+                          sort=False, dropna=False)
+             .size().reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype("int64")
+        yield g
+
+
+def extract_triple_groups(transcripts: DataFrame, salt: int = 0) -> DataFrame:
+    """Fused extraction + distinct-triple aggregation: semantically
+    identical to group_triples(extract_triples(x)) but the per-batch
+    combine happens INSIDE the pandas UDF (C-speed groupby), so the
+    Arrow channel and the JVM-side hash aggregation see vocabulary-bounded
+    batch aggregates instead of one row per triple occurrence. At 10^12
+    turns this is the difference between Arrow-decoding ~2x10^12 rows and
+    decoding per-batch vocabularies."""
+    df = transcripts.select("conv_id", "turn_idx", "text")
+    if salt > 0:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n, "conv_id",
+                            F.pmod(F.xxhash64("turn_idx"), F.lit(salt)))
+    partial = df.mapInPandas(_extract_group_iter, GROUP_SCHEMA)
+    return (partial.groupBy("subject", "predicate", "object", "obj_kind")
+            .agg(F.sum("cnt").alias("cnt")))
 
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:

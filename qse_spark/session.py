@@ -47,6 +47,9 @@ def get_spark(master: str | None = None, app_name: str = "qse-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize per-batch UDF overhead (template
+        # regex setup, output assembly) — 64k rows ≈ 7 MB, safely small
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: every executor thread shares the driver JVM — size the
         # heap for the thread count or wide shuffles GC-thrash (128 GiB box)
@@ -58,6 +61,17 @@ def get_spark(master: str | None = None, app_name: str = "qse-spark",
     )
     if executor_mem:
         builder = builder.config("spark.executor.memory", executor_mem)
+    if master.startswith("local-cluster"):
+        # size each executor JVM's internal pools (netty, GC, JIT, commons)
+        # to its core allocation, not the 32-core host: N co-located
+        # executors otherwise spawn N x ~32-thread pools whose churn is
+        # measurably taxed in this sandbox. Standard practice on real
+        # multi-tenant hosts too.
+        exec_cores = int(master[master.find("[") + 1:master.find("]")]
+                         .split(",")[1])
+        builder = builder.config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={exec_cores + 1}")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -365,7 +365,10 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
         "text": pa.array(texts, pa.string()),
         "tool": pa.array(tools, pa.string()),
         "ts": pa.array(tss, pa.timestamp("us")),
-    }), os.path.join(out_dir, "transcripts.parquet"))
+    }), os.path.join(out_dir, "transcripts.parquet"),
+        # small row groups keep the single file splittable: a one-row-group
+        # file collapses a Spark scan to one task regardless of cluster size
+        row_group_size=8192)
     pq.write_table(pa.table({k: pa.array(v) for k, v in gm.items()}),
                    os.path.join(out_dir, "gold_mentions.parquet"))
     pq.write_table(pa.table({

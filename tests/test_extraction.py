@@ -62,3 +62,14 @@ def test_garbage_and_empty_rows(spark):
             ("c", 3, "nächste schritte — 了解 ✨")]
     tr = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
     assert extract_triples(tr).count() == 0
+
+
+def test_fused_extract_groups_equals_staged(spark, fixture_dir):
+    from qse_spark.operators.extraction import (extract_triple_groups,
+                                                extract_triples)
+    from qse_spark.pipeline import group_triples
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    fused = sorted(map(tuple, extract_triple_groups(tr).collect()))
+    staged = sorted(map(tuple,
+                        group_triples(extract_triples(tr)).collect()))
+    assert fused == staged and len(fused) > 0
