@@ -6,7 +6,7 @@ stage name, a config hash (covers every upstream parameter and input
 fingerprint), row count, per-partition row counts, and wall time. On
 restart, a stage whose manifest matches its config hash is loaded from disk
 instead of recomputed — a mid-pipeline kill resumes where it left off and
-reproduces byte-identical results (tests/test_resume.py).
+reproduces byte-identical results (tests/test_pipeline.py resume tests).
 
 Storage is parquet directories (Iceberg jars are not in this image; the
 writer is format-pluggable via `sinks.write_table`).

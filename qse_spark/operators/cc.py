@@ -91,7 +91,12 @@ def _driver_cc(edges: DataFrame) -> DataFrame:
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
     pairs = sorted((n, find(n)) for n in nodes)   # roots map to themselves
-    return edges.sparkSession.createDataFrame(pairs, ["node", "component"])
+    # explicit schema: createDataFrame cannot infer one from an empty list
+    # (zero link edges is a legal corpus, not an error)
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([StructField("node", StringType()),
+                         StructField("component", StringType())])
+    return edges.sparkSession.createDataFrame(pairs, schema)
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50,

@@ -82,7 +82,7 @@ def lsh_ann_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                  id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket; exact
     cosine re-ranks within the bucket. Recall vs brute force is tested in
-    tests/test_similarity.py; raise recall by lowering n_planes or adding
+    tests/test_training_ops.py; raise recall by lowering n_planes or adding
     multi-probe buckets."""
     e = lsh_signature(with_unit_norm(emb), dim, n_planes, seed)
     q = lsh_signature(with_unit_norm(queries), dim, n_planes, seed)

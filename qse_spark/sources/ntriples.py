@@ -32,9 +32,14 @@ def write_ntriples(triples: DataFrame, path: str,
     language-tagged literals. Native expressions only, splittable output
     (one shard per partition). Roundtrips through read_ntriples."""
     _XSD = "http://www.w3.org/2001/XMLSchema#"
-    esc = F.regexp_replace(F.regexp_replace(F.col("object"), r"\\", r"\\\\"),
-                           '"', '\\\\"')
-    # langString objects arrive as "word@lang" — split at the LAST '@'
+
+    def _esc(col):
+        return F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"),
+                                '"', '\\\\"')
+
+    # langString objects arrive as "word@lang" — split at the LAST '@'; a
+    # langString row with no parsable '@lang' suffix falls back to a plain
+    # string literal (never emit the malformed `"..."@` form)
     lang_word = F.regexp_extract(F.col("object"), r"^(.*)@([A-Za-z\-]+)$", 1)
     lang_tag = F.regexp_extract(F.col("object"), r"^(.*)@([A-Za-z\-]+)$", 2)
     obj_term = (
@@ -46,9 +51,9 @@ def write_ntriples(triples: DataFrame, path: str,
         .when(F.col("obj_kind") == "date",
               F.concat(F.lit('"'), F.col("object"),
                        F.lit(f'"^^<{_XSD}date>')))
-        .when(F.col("obj_kind") == "langString",
-              F.concat(F.lit('"'), lang_word, F.lit('"@'), lang_tag))
-        .otherwise(F.concat(F.lit('"'), esc, F.lit('"'))))
+        .when((F.col("obj_kind") == "langString") & (lang_tag != ""),
+              F.concat(F.lit('"'), _esc(lang_word), F.lit('"@'), lang_tag))
+        .otherwise(F.concat(F.lit('"'), _esc(F.col("object")), F.lit('"'))))
     line = F.concat(F.lit("<" + iri_prefix), F.col("subject"), F.lit("> <"),
                     F.lit(iri_prefix), F.col("predicate"), F.lit("> "),
                     obj_term, F.lit(" ."))
@@ -63,6 +68,8 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         g[1], g[2], g[3], g[4], g[5], g[6], g[7], g[8])
     subject = F.when(s_iri != "", s_iri).otherwise(s_bn)
     is_iri_obj = (o_iri != "") | (o_bn != "")
+    # undo write-side escaping: \" -> " and \\ -> \ in one sequential pass
+    o_lit = F.regexp_replace(o_lit, r'\\(["\\])', "$1")
     obj = (F.when(o_iri != "", o_iri)
            .when(o_bn != "", o_bn)
            .when(o_lang != "", F.concat(o_lit, F.lit("@"), o_lang))

@@ -108,3 +108,16 @@ def test_cc_distributed_permutation_invariant(spark):
     assert outs[0] == outs[1]
     comp = dict(outs[0])
     assert comp["c"] == "a" and comp["z"] == "x" and comp["a"] == "a"
+
+
+def test_cc_empty_edge_set(spark):
+    """ADVICE r1: zero link edges is a legal corpus — canonical_map and
+    connected_components must return empty frames with the right schema."""
+    from qse_spark.operators.cc import canonical_map, connected_components
+    empty = spark.createDataFrame([], "src string, dst string")
+    comp = connected_components(empty)
+    assert comp.columns == ["node", "component"]
+    assert comp.count() == 0
+    cmap = canonical_map(empty)
+    assert cmap.columns == ["mention_id", "canonical_id"]
+    assert cmap.count() == 0

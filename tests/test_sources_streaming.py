@@ -93,3 +93,32 @@ def test_ntriples_roundtrip(spark, tmp_path):
         F.when(F.col("obj_kind") == "iri", strip("object"))
         .otherwise(F.col("object")), "obj_kind").collect()}
     assert got == set(rows)
+
+
+def test_ntriples_roundtrip_escapes_and_bad_langstring(spark, tmp_path):
+    """ADVICE r1: quotes/backslashes must survive the roundtrip, and a
+    langString lacking an '@lang' suffix must degrade to a plain string
+    literal instead of the malformed (and silently dropped) `"..."@`."""
+    from pyspark.sql import functions as F
+
+    from qse_spark.sources.ntriples import write_ntriples
+    rows = [
+        ("d1", "quote", 'she said "hi"', "string"),
+        ("d2", "path", "C:\\temp\\x", "string"),
+        ("d3", "both", 'mix \\ and "q"', "string"),
+        ("d4", "greet", "no-lang-suffix", "langString"),  # malformed input
+        ("d5", "greet", 'qu"ote@fr', "langString"),
+    ]
+    df = spark.createDataFrame(rows, ["subject", "predicate", "object",
+                                      "obj_kind"])
+    out = str(tmp_path / "rt_esc")
+    write_ntriples(df, out)
+    back = read_ntriples(spark, out)
+    strip = lambda c: F.regexp_replace(c, "^http://ex.org/", "")  # noqa: E731
+    got = {tuple(r) for r in back.select(
+        strip("subject"), strip("predicate"), "object", "obj_kind").collect()}
+    # d4 degrades to a string literal (no data loss); everything else exact
+    expect = {r for r in rows if r[0] != "d4"} | {
+        ("d4", "greet", "no-lang-suffix", "string")}
+    assert got == expect
+
