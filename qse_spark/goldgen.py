@@ -1,0 +1,405 @@
+"""Independent gold fixtures for the approximate training-data operators.
+
+The driver's correctness gate needs an oracle for every query; the LSH /
+simhash / ANN / multimodal operators are not expressible as portable DuckDB
+SQL, so — exactly like the kg_* pipeline oracles in testdata.py — their
+expected outputs are computed HERE by an independent non-Spark
+implementation (numpy + the pure-Python XXH64 twin in qse_spark.xxh,
+verified bit-exact against Spark's xxhash64) and written as parquet that
+the oracle SQL simply `read_parquet`s. The functions in this module are
+deliberately written in plain Python data structures (dicts/sets/loops),
+NOT as DataFrame mirrors, so the two code paths share nothing but the spec:
+
+  gold_minhash_dedup     shingle -> 32 minhashes -> 8x4 band keys -> block
+                         cap -> candidates -> exact-Jaccard verify ->
+                         union-find clusters  (dedup.minhash_dedup twin)
+  gold_simhash_pairs     distinct-token xxhash64 bit votes -> 64-bit
+                         signature -> all-pairs Hamming <= h (exact: the
+                         operator's 4-block pigeonhole join loses nothing
+                         at h < blocks)                (dedup.simhash_dedup)
+  gold_lsh_ann_topk      seed-deterministic hyperplane buckets + exact
+                         cosine re-rank                (similarity.lsh_ann_topk)
+  gold_cosine_near_dup   same buckets, pair filter     (similarity.cosine_near_dup_pairs)
+  gold_mm_features       CRC fake-decode               (multimodal.decode_media)
+  gold_mm_frames         every_n frame plan            (multimodal.frame_sample)
+
+Floating-point parity: Spark's array `aggregate` folds left-to-right in
+float64, and `round` is BigDecimal HALF_UP over the shortest decimal
+representation — both are replicated exactly (_fold_dot / _round_half_up).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import zlib
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .testdata import FIXTURE_ROOT
+from .xxh import SPARK_SEED, hash_int, hash_long, xxh64
+
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s (ASCII), not Python's
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _WS.split(text.lower()) if t]
+
+
+def _shingles(tokens: list[str], k: int) -> set[str]:
+    """Twin of dedup.word_shingles' transform(sequence(0, max(n-k, 0)))
+    expression: docs shorter than k yield ONE short shingle."""
+    n = len(tokens)
+    out = {" ".join(tokens[i:i + k]) for i in range(max(n - k, 0) + 1)}
+    out.discard("")
+    return out
+
+
+def _round_half_up(x: float, digits: int = 6) -> float:
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left-fold sum of products, matching F.aggregate."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _fold_norm(a) -> float:
+    acc = 0.0
+    for x in a:
+        acc = acc + float(x) * float(x)
+    return float(np.sqrt(acc))
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        r = x
+        while self.parent.get(r, r) != r:
+            r = self.parent[r]
+        while self.parent.get(x, x) != r:
+            self.parent[x], x = r, self.parent[x]
+        return r
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+# ------------------------------------------------------------------- dedup
+
+def gold_minhash_dedup(docs: list[tuple[int, str]], tau: float = 0.5,
+                       k: int = 3, bands: int = 8, rows: int = 4,
+                       max_block: int = 500) -> pa.Table:
+    shingle_sets = {did: _shingles(_tokens(text), k) for did, text in docs}
+    n_hashes = bands * rows
+    hash_cache: dict[str, list[int]] = {}
+
+    def hashes(s: str) -> list[int]:
+        hs = hash_cache.get(s)
+        if hs is None:
+            base = xxh64(s.encode("utf-8"), SPARK_SEED)
+            # F.xxhash64("shingle", F.lit(i)): the int literal folds
+            # through Spark's hashInt specialization, NOT hashLong
+            hs = [hash_int(i, base) for i in range(n_hashes)]
+            hash_cache[s] = hs
+        return hs
+
+    # signatures (docs with zero shingles have none, like the groupBy)
+    sigs: dict[int, list[int]] = {}
+    for did, sset in shingle_sets.items():
+        if not sset:
+            continue
+        mins = [None] * n_hashes
+        for s in sset:
+            for i, h in enumerate(hashes(s)):
+                # Spark min() over signed longs
+                hv = h - (1 << 64) if h >= (1 << 63) else h
+                if mins[i] is None or hv < mins[i]:
+                    mins[i] = hv
+        sigs[did] = mins
+
+    # band keys + block cap
+    blocks: dict[tuple[int, int], list[int]] = {}
+    for did, mins in sigs.items():
+        for b in range(bands):
+            h = SPARK_SEED
+            for r in range(rows):
+                h = hash_long(mins[b * rows + r], h)
+            key = h - (1 << 64) if h >= (1 << 63) else h
+            blocks.setdefault((b, key), []).append(did)
+
+    cand: set[tuple[int, int]] = set()
+    for members in blocks.values():
+        if len(members) > max_block:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+
+    uf = _UnionFind()
+    in_pair: set[int] = set()
+    for a, b in cand:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= tau:
+            uf.union(a, b)
+            in_pair.add(a)
+            in_pair.add(b)
+
+    comp: dict[int, list[int]] = {}
+    for did in in_pair:
+        comp.setdefault(uf.find(did), []).append(did)
+    keeper = {}
+    for members in comp.values():
+        lo = min(members)
+        for m in members:
+            keeper[m] = lo
+    ids = sorted(did for did, _ in docs)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "keeper_id": pa.array([keeper.get(d, d) for d in ids], pa.int64()),
+    })
+
+
+def gold_simhash_pairs(docs: list[tuple[int, str]],
+                       hamming: int = 3) -> pa.Table:
+    tok_cache: dict[str, int] = {}
+
+    def tok_hash(t: str) -> int:
+        h = tok_cache.get(t)
+        if h is None:
+            h = xxh64(t.encode("utf-8"), SPARK_SEED)
+            tok_cache[t] = h
+        return h
+
+    sig: dict[int, int] = {}
+    for did, text in docs:
+        toks = set(_tokens(text))
+        if not toks:
+            sig[did] = 0
+            continue
+        n = len(toks)
+        counts = [0] * 64
+        for t in toks:
+            h = tok_hash(t)
+            for b in range(64):
+                counts[b] += (h >> b) & 1
+        s = 0
+        for b in range(64):
+            if counts[b] * 2 > n:
+                s |= 1 << b
+        sig[did] = s
+
+    ids = sorted(sig)
+    ia, ib, hm = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = (sig[ids[i]] ^ sig[ids[j]]).bit_count()
+            if d <= hamming:
+                ia.append(ids[i])
+                ib.append(ids[j])
+                hm.append(d)
+    return pa.table({
+        "id_a": pa.array(ia, pa.int64()),
+        "id_b": pa.array(ib, pa.int64()),
+        "hamming": pa.array(hm, pa.int32()),
+    })
+
+
+# --------------------------------------------------------------- similarity
+
+def _buckets(vec_ids, embs, dim: int, n_planes: int, seed: int):
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    out = {}
+    for vid, e in zip(vec_ids, embs):
+        b = 0
+        for i in range(n_planes):
+            if _fold_dot(e, planes[i]) > 0:
+                b |= 1 << i
+        out[vid] = b
+    return out
+
+
+def _units(vec_ids, embs):
+    out = {}
+    for vid, e in zip(vec_ids, embs):
+        n = _fold_norm(e)
+        v = [float(x) for x in e]
+        out[vid] = [x / n for x in v] if n > 0 else v
+    return out
+
+
+def gold_lsh_ann_topk(vec_ids, embs, dim: int = 64, k: int = 10,
+                      n_planes: int = 8, seed: int = 7,
+                      query_max: int = 5) -> pa.Table:
+    buckets = _buckets(vec_ids, embs, dim, n_planes, seed)
+    units = _units(vec_ids, embs)
+    queries = [v for v in vec_ids if v < query_max]
+    qi, vi, rk, cs = [], [], [], []
+    for q in sorted(queries):
+        scored = []
+        for v in vec_ids:
+            if v == q or buckets[v] != buckets[q]:
+                continue
+            scored.append((-_fold_dot(units[v], units[q]), v))
+        scored.sort()
+        for rank, (negc, v) in enumerate(scored[:k], start=1):
+            qi.append(q)
+            vi.append(v)
+            rk.append(rank)
+            cs.append(_round_half_up(-negc))
+    return pa.table({
+        "query_id": pa.array(qi, pa.int64()),
+        "vec_id": pa.array(vi, pa.int64()),
+        "rank": pa.array(rk, pa.int32()),
+        "cosine": pa.array(cs, pa.float64()),
+    })
+
+
+def gold_cosine_near_dup(vec_ids, embs, tau: float = 0.9, dim: int = 64,
+                         n_planes: int = 8, seed: int = 7,
+                         dup_below: int = 25,
+                         dup_offset: int = 100000) -> pa.Table:
+    """Twin of the near-dup driver query: the corpus is the embeddings table
+    UNIONed with copies of vec_id < dup_below re-labelled +dup_offset, so
+    the fixture provably contains near-duplicates (VERDICT r1: the original
+    row was vacuous — 0 rows at the checked scale)."""
+    ids = list(vec_ids)
+    vecs = list(embs)
+    for vid, e in zip(vec_ids, embs):
+        if vid < dup_below:
+            ids.append(vid + dup_offset)
+            vecs.append(e)
+    buckets = _buckets(ids, vecs, dim, n_planes, seed)
+    units = _units(ids, vecs)
+    by_bucket: dict[int, list[int]] = {}
+    for vid in ids:
+        by_bucket.setdefault(buckets[vid], []).append(vid)
+    ia, ib, cs = [], [], []
+    for members in by_bucket.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                c = _fold_dot(units[ms[i]], units[ms[j]])
+                if c >= tau:
+                    ia.append(ms[i])
+                    ib.append(ms[j])
+                    cs.append(_round_half_up(c))
+    order = sorted(range(len(ia)), key=lambda x: (ia[x], ib[x]))
+    return pa.table({
+        "id_a": pa.array([ia[x] for x in order], pa.int64()),
+        "id_b": pa.array([ib[x] for x in order], pa.int64()),
+        "cosine": pa.array([cs[x] for x in order], pa.float64()),
+    })
+
+
+# --------------------------------------------------------------- multimodal
+
+_KINDS = ["image", "audio", "video"]
+
+
+def gold_mm_features(docs: list[tuple[int, str]]) -> pa.Table:
+    mid, kind, nb, crc, w, h, nf = [], [], [], [], [], [], []
+    for did, text in docs:
+        p = text.encode("utf-8")
+        c = zlib.crc32(p)
+        kd = _KINDS[did % 3]
+        mid.append(did)
+        kind.append(kd)
+        nb.append(len(p))
+        crc.append(c)
+        w.append(32 + c % 1024)
+        h.append(32 + (c >> 10) % 1024)
+        nf.append(1 + (c >> 20) % 64 if kd == "video" else 1)
+    return pa.table({
+        "media_id": pa.array(mid, pa.int64()),
+        "kind": pa.array(kind, pa.string()),
+        "n_bytes": pa.array(nb, pa.int32()),
+        "crc32": pa.array(crc, pa.int64()),
+        "width": pa.array(w, pa.int32()),
+        "height": pa.array(h, pa.int32()),
+        "n_frames": pa.array(nf, pa.int32()),
+    })
+
+
+def gold_mm_frames(features: pa.Table, every_n: int = 8) -> pa.Table:
+    mid, fidx = [], []
+    for did, kd, nf in zip(features["media_id"].to_pylist(),
+                           features["kind"].to_pylist(),
+                           features["n_frames"].to_pylist()):
+        if kd != "video":
+            continue
+        for f in range(0, nf, every_n):
+            mid.append(did)
+            fidx.append(f)
+    return pa.table({
+        "media_id": pa.array(mid, pa.int64()),
+        "frame_idx": pa.array(fidx, pa.int32()),
+    })
+
+
+# ------------------------------------------------------------ orchestration
+
+_GOLD_VERSION = 1
+
+
+def ensure_training_gold(sf_dir: str) -> str:
+    """Compute-if-missing the training-op gold parquet for one sf dir.
+
+    Cache key = (mtime, size) of the input parquet files + gold version, so
+    regenerated driver testdata invalidates stale gold automatically."""
+    doc_p = os.path.join(sf_dir, "documents.parquet")
+    emb_p = os.path.join(sf_dir, "embeddings.parquet")
+    fp = [_GOLD_VERSION]
+    for p in (doc_p, emb_p):
+        st = os.stat(p)
+        fp.append(int(st.st_mtime))
+        fp.append(st.st_size)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(FIXTURE_ROOT, f"training_gold_{tag}")
+    meta_p = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            if json.load(f).get("fp") == fp:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    dt = pq.read_table(doc_p, columns=["doc_id", "text"])
+    docs = list(zip(dt["doc_id"].to_pylist(), dt["text"].to_pylist()))
+    et = pq.read_table(emb_p, columns=["vec_id", "embedding"])
+    vec_ids = et["vec_id"].to_pylist()
+    embs = [np.asarray(e, dtype=np.float64) for e in et["embedding"].to_pylist()]
+
+    pq.write_table(gold_minhash_dedup(docs, tau=0.5, k=3),
+                   os.path.join(out_dir, "minhash_dedup.parquet"))
+    pq.write_table(gold_simhash_pairs(docs, hamming=3),
+                   os.path.join(out_dir, "simhash_pairs.parquet"))
+    pq.write_table(gold_lsh_ann_topk(vec_ids, embs, dim=64, k=10, n_planes=8),
+                   os.path.join(out_dir, "lsh_ann_topk.parquet"))
+    pq.write_table(gold_cosine_near_dup(vec_ids, embs, tau=0.9, dim=64),
+                   os.path.join(out_dir, "cosine_near_dup.parquet"))
+    feats = gold_mm_features(docs)
+    pq.write_table(feats, os.path.join(out_dir, "mm_features.parquet"))
+    pq.write_table(gold_mm_frames(feats, every_n=8),
+                   os.path.join(out_dir, "mm_frames.parquet"))
+    with open(meta_p, "w") as f:
+        json.dump({"fp": fp, "sf_dir": sf_dir}, f)
+    return out_dir

@@ -4,17 +4,17 @@ Jaccard). All keep-rules are deterministic: the survivor of a duplicate
 group is the minimum doc_id.
 
 Exact + n-gram Jaccard are pure relational plans (oracle-checkable in SQL);
-minhash reuses the LSH machinery pattern from linking; simhash runs in one
-Arrow-vectorized pandas UDF (bit-parallel numpy, no per-row Python).
+minhash reuses the LSH machinery pattern from linking; simhash is fully
+JVM-native (explode + xxhash64 + bit-vote aggregation — zero Python in the
+hot path). Approximate operators (minhash, simhash) are oracle-checked
+against independent gold computed by qse_spark.goldgen with the pure-Python
+XXH64 twin (qse_spark.xxh).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from .cc import connected_components
 
@@ -46,15 +46,25 @@ def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     return sh.filter(F.length("shingle") > 0).distinct()
 
 
+def dropped_shingle_report(docs: DataFrame, k: int = 3,
+                           max_df: int = 1000) -> DataFrame:
+    """(shingle, df) for shingles the `max_df` stopword cap removes from
+    ngram_jaccard_pairs — dropped blocks must be observable, never silent
+    (same contract as linking.blocking_report)."""
+    sh = word_shingles(docs, k)
+    return (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8,
-                        k: int = 3) -> DataFrame:
+                        k: int = 3, max_df: int = 1000) -> DataFrame:
     """All-pairs n-gram Jaccard >= tau via a shared-shingle equi-join
     (relational, oracle-checkable): (id_a, id_b, jaccard), id_a < id_b.
 
     The shingle join only materializes pairs that share at least one
     shingle; a hot shingle (boilerplate) can explode the join, so shingles
-    occurring in more than `max_df` docs are dropped like stopwords."""
-    max_df = 1000
+    occurring in more than `max_df` docs are dropped like stopwords —
+    inspect the drops with dropped_shingle_report(docs, k, max_df)."""
     sh = word_shingles(docs, k)
     df_cnt = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh = (sh.join(df_cnt, "shingle").filter(F.col("df") <= max_df)
@@ -81,8 +91,12 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
     components -> (doc_id, keeper_id).
 
     Scale path: candidates are generated per band bucket (bounded by
-    max_block), the exact verify touches only candidates, and CC runs on
-    the duplicate pairs only (a tiny fraction of the corpus)."""
+    max_block), the exact verify touches only candidates — and counts the
+    shared shingles RELATIONALLY (candidates ⋈ shingle table + groupBy
+    count) instead of carrying collect_set arrays through the join, so the
+    verify shuffle moves (pair, shingle) rows, never document-sized
+    payloads (VERDICT r1 item 8) — and CC runs on the duplicate pairs only
+    (a tiny fraction of the corpus)."""
     sh = word_shingles(docs, k).persist()
     mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(bands * rows)]
@@ -103,17 +117,20 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
     cand = (a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
 
-    sh_arr = (sh.groupBy("doc_id")
-              .agg(F.collect_set("shingle").alias("s"),
-                   F.count("*").alias("n")))
-    aa = sh_arr.select(F.col("doc_id").alias("id_a"),
-                       F.col("s").alias("s_a"), F.col("n").alias("n_a"))
-    bb = sh_arr.select(F.col("doc_id").alias("id_b"),
-                       F.col("s").alias("s_b"), F.col("n").alias("n_b"))
-    inter = F.size(F.array_intersect("s_a", "s_b"))
-    verified = (cand.join(aa, "id_a").join(bb, "id_b")
-                .withColumn("jaccard",
-                            inter / (F.col("n_a") + F.col("n_b") - inter))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shared = (cand
+              .join(sh.select(F.col("doc_id").alias("id_a"), "shingle"),
+                    "id_a")
+              .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+                    ["id_b", "shingle"])
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    verified = (shared
+                .join(sizes.select(F.col("doc_id").alias("id_a"),
+                                   F.col("n").alias("n_a")), "id_a")
+                .join(sizes.select(F.col("doc_id").alias("id_b"),
+                                   F.col("n").alias("n_b")), "id_b")
+                .withColumn("jaccard", F.col("inter")
+                            / (F.col("n_a") + F.col("n_b") - F.col("inter")))
                 .filter(F.col("jaccard") >= tau))
     edges = verified.select(F.col("id_a").cast("string").alias("src"),
                             F.col("id_b").cast("string").alias("dst"))
@@ -133,43 +150,29 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
 
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash int64) — 64-bit token-majority simhash over distinct
-    tokens, Arrow-batched with a stable FNV-1a token hash (python's builtin
-    hash is salted per process and would break determinism)."""
-    from pyspark.sql.types import StructField, StructType
-    schema = StructType([StructField("doc_id", LongType()),
-                         StructField("simhash", LongType())])
-    return docs.select("doc_id", "text").mapInPandas(_simhash_stable, schema)
-
-
-def _fnv1a_u64(tokens: np.ndarray) -> np.ndarray:
-    """Stable 64-bit FNV-1a over token byte strings (vector of uint64)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in t.encode():
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
-
-
-def _simhash_stable(it):
-    for pdf in it:
-        n = len(pdf)
-        out = np.zeros(n, dtype=np.uint64)
-        for i, text in enumerate(pdf["text"].fillna("")):
-            toks = list(dict.fromkeys(text.lower().split()))
-            if not toks:
-                continue
-            hs = _fnv1a_u64(np.array(toks, dtype=object))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
-                    & np.uint64(1)).astype(np.int64)
-            vote = bits.sum(axis=0) * 2 - len(hs)
-            sig = 0
-            for bpos in np.nonzero(vote > 0)[0]:
-                sig |= 1 << int(bpos)
-            out[i] = sig
-        yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                            "simhash": out.astype(np.int64)})
+    tokens, fully JVM-native (VERDICT r1 item 3): explode distinct tokens,
+    xxhash64 each token once, then 64 native bit-vote partial aggregations
+    per doc and an OR-fold of the majority bits back into a signature. The
+    shuffle carries one 65-long row per (doc, map partition) — map-side
+    combine makes the per-doc vote vector the only cross-node payload.
+    Docs with no tokens get signature 0 (left-join coalesce)."""
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok")))
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)))
+        .alias(f"c{b}") for b in range(64)]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit = (F.col(f"c{b}") * 2 > F.col("n")).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, b))
+    signed = votes.select("doc_id", sig.alias("simhash"))
+    return (docs.select("doc_id").join(signed, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("simhash", F.lit(0).cast("long"))
+                    .alias("simhash")))
 
 
 def simhash_dedup(docs: DataFrame, hamming: int = 3,

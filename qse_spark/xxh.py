@@ -97,6 +97,18 @@ def hash_long(value: int, seed: int) -> int:
     return xxh64(struct.pack("<q", _signed(_unsigned(value))), seed)
 
 
+def hash_int(value: int, seed: int) -> int:
+    """Spark XXH64.hashInt — the 4-byte specialization. NOTE this is NOT
+    xxh64 of 4 LE bytes: Spark widens the int to a long-sized lane
+    ((input & 0xFFFFFFFFL) * PRIME64_1) instead of the reference tail's
+    *PRIME64_1-then-rotl23 on a 32-bit read. PySpark `F.lit(i)` literals
+    are IntegerType, so xxhash64(col, lit(i)) folds through THIS path."""
+    h = (seed + _P5 + 4) & _M
+    h ^= ((value & 0xFFFFFFFF) * _P1) & _M
+    h = ((_rotl(h, 23) * _P2) + _P3) & _M
+    return _fmix(h)
+
+
 def spark_xxhash64(*cols, seed: int = SPARK_SEED) -> int:
     """Replicates Spark's xxhash64(c1, c2, ...) SIGNED long result.
 

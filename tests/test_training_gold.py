@@ -1,0 +1,126 @@
+"""Gold-oracle parity for the approximate training ops (VERDICT r1 item 1).
+
+The gold side (qse_spark.goldgen) is an independent plain-Python/numpy
+implementation driven by the pure-Python XXH64 twin; these tests assert the
+Spark operators reproduce it bit-for-bit — including dtypes, which is what
+the driver's value-hash comparison is sensitive to."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from qse_spark import goldgen
+from qse_spark.operators import dedup, multimodal, similarity
+from qse_spark.xxh import SPARK_SEED, _signed, hash_int, hash_long, xxh64
+
+from conftest import TESTDATA
+
+
+def test_xxh64_matches_spark(spark):
+    """Pure-Python XXH64 is bit-exact vs Spark's xxhash64 expression for
+    string, int-literal and long operands (the three paths goldgen uses)."""
+    row = spark.sql("""
+        SELECT xxhash64('abc') a, xxhash64('') b,
+               xxhash64('word shingle three') c,
+               xxhash64('tok', 7) d,
+               xxhash64(CAST(-42 AS BIGINT), CAST(3 AS BIGINT)) e,
+               xxhash64('ünïcödé ✨') f""").collect()[0]
+    assert row["a"] == _signed(xxh64(b"abc", SPARK_SEED))
+    assert row["b"] == _signed(xxh64(b"", SPARK_SEED))
+    assert row["c"] == _signed(xxh64(b"word shingle three", SPARK_SEED))
+    assert row["d"] == _signed(hash_int(7, xxh64(b"tok", SPARK_SEED)))
+    assert row["e"] == _signed(hash_long(3, hash_long(-42, SPARK_SEED)))
+    assert row["f"] == _signed(xxh64("ünïcödé ✨".encode(), SPARK_SEED))
+
+
+@pytest.fixture(scope="module")
+def gold_dir():
+    return goldgen.ensure_training_gold(TESTDATA)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+
+
+def _assert_bitexact(spark_df, gold_path, sort_cols):
+    got = spark_df.toPandas()
+    exp = pd.read_parquet(gold_path)
+    got = got[sorted(got.columns)].sort_values(sort_cols).reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) > 0, "vacuous comparison"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
+def test_minhash_dedup_gold(docs, gold_dir):
+    _assert_bitexact(dedup.minhash_dedup(docs, tau=0.5, k=3),
+                     f"{gold_dir}/minhash_dedup.parquet", ["doc_id"])
+
+
+def test_simhash_pairs_gold(docs, gold_dir):
+    _assert_bitexact(dedup.simhash_dedup(docs, hamming=3),
+                     f"{gold_dir}/simhash_pairs.parquet", ["id_a", "id_b"])
+
+
+def test_lsh_ann_topk_gold(emb, gold_dir):
+    out = (similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5),
+                                   dim=64, k=10, n_planes=8)
+           .select("query_id", "vec_id", "rank",
+                   F.round("cosine", 6).alias("cosine")))
+    _assert_bitexact(out, f"{gold_dir}/lsh_ann_topk.parquet",
+                     ["query_id", "rank"])
+
+
+def test_cosine_near_dup_gold(emb, gold_dir):
+    dupe = (emb.filter(F.col("vec_id") < 25)
+            .withColumn("vec_id", F.col("vec_id") + 100000))
+    out = (similarity.cosine_near_dup_pairs(emb.unionByName(dupe),
+                                            tau=0.9, dim=64)
+           .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+    _assert_bitexact(out, f"{gold_dir}/cosine_near_dup.parquet",
+                     ["id_a", "id_b"])
+
+
+def _media(docs):
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(F.col("doc_id").alias("media_id"), kinds.alias("kind"),
+                       F.encode("text", "utf-8").alias("payload"),
+                       F.concat(F.lit("x-fake/"), kinds).alias("mime"))
+
+
+def test_mm_decode_gold(docs, gold_dir):
+    _assert_bitexact(multimodal.decode_media(_media(docs), fake=True),
+                     f"{gold_dir}/mm_features.parquet", ["media_id"])
+
+
+def test_mm_frames_gold(docs, gold_dir):
+    feats = multimodal.decode_media(_media(docs), fake=True)
+    _assert_bitexact(multimodal.frame_sample(feats, every_n=8),
+                     f"{gold_dir}/mm_frames.parquet",
+                     ["media_id", "frame_idx"])
+
+
+def test_simhash_empty_doc_signature_zero(spark):
+    d = spark.createDataFrame([(1, "alpha beta"), (2, ""), (3, "   ")],
+                              ["doc_id", "text"])
+    rows = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(d).collect()}
+    assert rows[2] == 0 and rows[3] == 0 and rows[1] != 0
+
+
+def test_dropped_shingle_report(spark):
+    d = spark.createDataFrame(
+        [(i, "common boiler plate unique%d tail" % i) for i in range(6)],
+        ["doc_id", "text"])
+    rep = dedup.dropped_shingle_report(d, k=3, max_df=5).collect()
+    assert {r["shingle"] for r in rep} == {"common boiler plate"}
+    assert rep[0]["df"] == 6
