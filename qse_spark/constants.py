@@ -27,6 +27,10 @@ LITERAL_DATATYPES = {
 SUPPORT_PRED = "http://shaclshapes.org/support"
 CONFIDENCE_PRED = "http://shaclshapes.org/confidence"
 
+# Example-annotation predicate (`ExampleManager.EXAMPLE_IRI`,
+# `ShapesExtractor.java:573-615`).
+EXAMPLE_PRED = "http://example.org/example"
+
 SHAPES_NAMESPACE = "http://shaclshapes.org/"
 SHACL = "http://www.w3.org/ns/shacl#"
 

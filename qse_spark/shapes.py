@@ -33,9 +33,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .constants import (LITERAL_DATATYPES, SHAPES_NAMESPACE, TYPE_PREDICATE,
-                        UNDEFINED_OBJECT_TYPE)
-from .stats import prune
+from .constants import (EXAMPLE_PRED, LITERAL_DATATYPES, SHAPES_NAMESPACE,
+                        TYPE_PREDICATE, UNDEFINED_OBJECT_TYPE)
+from .stats import prune, prune_negative
 
 _LITERALS = list(LITERAL_DATATYPES.values())
 
@@ -123,6 +123,53 @@ def pruned_shapes(stats: DataFrame, confidence: float, support: int,
     ps = (property_shapes(rows, type_predicate)
           .join(ns.select("target_class"), "target_class", "left_semi"))
     return ns, ps
+
+
+def negative_shapes(stats: DataFrame, confidence: float, support: int,
+                    type_predicate: str = TYPE_PREDICATE) -> DataFrame:
+    """S13 back half — sh:not negative-shape records (the complement filter
+    rows built into wrapper node shapes, `ShapesExtractor.java:623-1010`,
+    activated by `qse_validation_with_shNot`).
+
+    Every (class, property) failing the thresholds gets a wrapper node
+    shape `<ns><prop><Class>_PS_NotShape` (reference naming, `:822`)
+    attached to the class's node shape via sh:not, containing a property
+    shape built with the SAME constraint rules as the positive side.
+    (Engine-wide naming note: the reference renames the instance-type
+    property to "instanceType" in shape IRIs; this engine consistently uses
+    the local name, as the oracle-checked positive shapes already do.)
+    """
+    neg = prune_negative(stats, confidence, support)
+    ps = property_shapes(neg, type_predicate)
+    return ps.withColumn(
+        "not_shape",
+        F.concat(F.lit(SHAPES_NAMESPACE), _local(F.col("path")),
+                 _local(F.col("target_class")), F.lit("_PS_NotShape")))
+
+
+def annotate_examples(nodes: DataFrame, props: DataFrame,
+                      ex_nodes: DataFrame, ex_values: DataFrame
+                      ) -> tuple[DataFrame, DataFrame]:
+    """E4 — attach `http://example.org/example` annotations to shapes
+    (`ShapesExtractor.java:573-615`, `Main.java:33-38`): example entities
+    from E1 onto node shapes, example object values from E2 onto property
+    shapes. Examples are rendered as a single '|'-joined string ordered by
+    sample rank — deterministic (md5-seeded E1/E2) and SQL-oracle-able
+    (string_agg ... ORDER BY rnk)."""
+    def _agg(df, keys, col):
+        return (df.groupBy(*keys)
+                .agg(F.concat_ws("|", F.transform(
+                    F.array_sort(F.collect_list(F.struct("rnk", col))),
+                    lambda x: x[col])).alias("examples")))
+
+    ne = (_agg(ex_nodes, ["class"], "entity")
+          .withColumnRenamed("class", "target_class"))
+    nodes2 = nodes.join(F.broadcast(ne), "target_class", "left")
+    pe = (_agg(ex_values, ["class", "property"], "value")
+          .withColumnRenamed("class", "target_class")
+          .withColumnRenamed("property", "path"))
+    props2 = props.join(F.broadcast(pe), ["target_class", "path"], "left")
+    return nodes2, props2
 
 
 def annotate_sh_node(prop_shapes: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -245,73 +292,145 @@ def _dtype_iri(label: str) -> str:
             else f"<http://www.w3.org/2001/XMLSchema#{label.split(':')[1]}>")
 
 
+def _ttl_escape(v: str) -> str:
+    return v.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def _example_lines(r) -> list[str]:
+    if not r.get("examples"):
+        return []
+    return [f'  <{EXAMPLE_PRED}> "{_ttl_escape(e)}" ;'
+            for e in str(r["examples"]).split("|")]
+
+
+def _prop_block(r) -> str:
+    lines = [f"<{r['prop_shape']}> a sh:PropertyShape ;",
+             f"  sh:path {_iri(r['path'])} ;"]
+    members = []
+    for c in r["constraints"]:
+        body = []
+        if c["kind"] == "datatype":
+            body.append(f"sh:datatype {_dtype_iri(c['obj_type'])} ; "
+                        f"sh:nodeKind sh:Literal")
+        elif c["kind"] == "class":
+            body.append(f"sh:class {_iri(c['obj_type'])} ; "
+                        f"sh:nodeKind sh:IRI")
+        elif c["kind"] == "in":
+            body.append(f"sh:in ( {_iri(c['obj_type'])} )")
+        else:
+            body.append("sh:nodeKind sh:IRI")
+        body.append(f"<{SHAPES_NAMESPACE.rstrip('/')}/support> "
+                    f"{int(c['support'])} ; "
+                    f"<{SHAPES_NAMESPACE.rstrip('/')}/confidence> "
+                    f"{float(c['confidence']):.6f}")
+        members.append(" ; ".join(body))
+    if len(members) == 1:
+        lines.append(f"  {members[0]} ;")
+    else:
+        ors = " ".join(f"[ {m} ]" for m in members)
+        lines.append(f"  sh:or ( {ors} ) ;")
+    if r["min_count"] is not None:
+        lines.append(f"  sh:minCount {int(r['min_count'])} ;")
+    if r["max_count"] is not None:
+        lines.append(f"  sh:maxCount {int(r['max_count'])} ;")
+    lines.extend(_example_lines(r))
+    lines[-1] = lines[-1].rstrip(" ;") + " ."
+    return "\n".join(lines) + "\n"
+
+
 def render_ttl_rows(nodes_props) -> list[str]:
-    """Pure renderer: (node_shape_rows, prop_shape_rows) -> Turtle chunks."""
-    nodes, props = nodes_props
+    """Pure renderer: (node_shape_rows, prop_shape_rows[, neg_prop_rows])
+    -> Turtle chunks. Negative rows render as sh:not wrapper node shapes
+    (`ShapesExtractor.java:805-835`); rows carrying an `examples` string
+    get `<http://example.org/example>` annotations (E4)."""
+    nodes, props = nodes_props[0], nodes_props[1]
+    negs = nodes_props[2] if len(nodes_props) > 2 else []
     chunks = []
     for r in nodes:
-        chunks.append(
-            f"<{r['node_shape']}> a sh:NodeShape ;\n"
-            f"  sh:targetClass {_iri(r['target_class'])} .\n")
-    for r in props:
-        lines = [f"<{r['prop_shape']}> a sh:PropertyShape ;",
-                 f"  sh:path {_iri(r['path'])} ;"]
-        members = []
-        for c in r["constraints"]:
-            body = []
-            if c["kind"] == "datatype":
-                body.append(f"sh:datatype {_dtype_iri(c['obj_type'])} ; "
-                            f"sh:nodeKind sh:Literal")
-            elif c["kind"] == "class":
-                body.append(f"sh:class {_iri(c['obj_type'])} ; "
-                            f"sh:nodeKind sh:IRI")
-            elif c["kind"] == "in":
-                body.append(f"sh:in ( {_iri(c['obj_type'])} )")
-            else:
-                body.append("sh:nodeKind sh:IRI")
-            body.append(f"<{SHAPES_NAMESPACE.rstrip('/')}/support> "
-                        f"{int(c['support'])} ; "
-                        f"<{SHAPES_NAMESPACE.rstrip('/')}/confidence> "
-                        f"{float(c['confidence']):.6f}")
-            members.append(" ; ".join(body))
-        if len(members) == 1:
-            lines.append(f"  {members[0]} ;")
-        else:
-            ors = " ".join(f"[ {m} ]" for m in members)
-            lines.append(f"  sh:or ( {ors} ) ;")
-        if r["min_count"] is not None:
-            lines.append(f"  sh:minCount {int(r['min_count'])} ;")
-        if r["max_count"] is not None:
-            lines.append(f"  sh:maxCount {int(r['max_count'])} ;")
+        lines = [f"<{r['node_shape']}> a sh:NodeShape ;",
+                 f"  sh:targetClass {_iri(r['target_class'])} ;"]
+        lines.extend(_example_lines(r))
         lines[-1] = lines[-1].rstrip(" ;") + " ."
         chunks.append("\n".join(lines) + "\n")
+    for r in props:
+        chunks.append(_prop_block(r))
+    for r in negs:
+        chunks.append(
+            f"<{r['node_shape']}> sh:not <{r['not_shape']}> .\n"
+            f"<{r['not_shape']}> a sh:NodeShape ;\n"
+            f"  sh:property <{r['prop_shape']}> .\n")
+        chunks.append(_prop_block(r))
     return chunks
 
 
-def write_ttl(nodes: DataFrame, props: DataFrame, path: str) -> None:
+def write_ttl(nodes: DataFrame, props: DataFrame, path: str,
+              neg_props: DataFrame | None = None) -> None:
     """Partitioned Turtle sink: every shard is a self-contained TTL document
     (prefix header + shape blocks). Scales with partitions; for small outputs
-    coalesce(1) first."""
+    coalesce(1) first. `neg_props` (from negative_shapes) renders sh:not
+    wrapper blocks."""
     both = (nodes.select(F.lit("N").alias("k"), F.to_json(F.struct("*")).alias("j"))
             .unionByName(props.select(F.lit("P").alias("k"),
                                       F.to_json(F.struct("*")).alias("j"))))
+    if neg_props is not None:
+        both = both.unionByName(neg_props.select(
+            F.lit("G").alias("k"), F.to_json(F.struct("*")).alias("j")))
 
     def _render(batches):
         import json as _json
         import pandas as _pd
-        ns, ps = [], []
+        ns, ps, gs = [], [], []
         for pdf in batches:
             for k, j in zip(pdf["k"], pdf["j"]):
                 d = _json.loads(j)
                 d.setdefault("min_count", None)
                 d.setdefault("max_count", None)
-                (ns if k == "N" else ps).append(d)
-        chunks = render_ttl_rows((ns, ps))
+                (ns if k == "N" else ps if k == "P" else gs).append(d)
+        chunks = render_ttl_rows((ns, ps, gs))
         yield _pd.DataFrame({"value": [_PREFIXES + "".join(chunks)]})
 
     from pyspark.sql.types import StringType, StructField, StructType
     txt = both.mapInPandas(_render, StructType([StructField("value", StringType())]))
     txt.write.mode("overwrite").text(path)
+
+
+def read_ttl_shapes(spark, path: str) -> DataFrame:
+    """Parse a shapes TTL (as emitted by write_ttl, or the reference's
+    formatter for the same subset) back into shape-key rows:
+
+        (kind 'NS'|'PS', shape, key)   key = sh:targetClass | sh:path IRI
+
+    This is what PrecisionRecallComputer.java:29-141 extracts from the two
+    input files via SPARQL (query_node_shapes.txt / query_property_shapes
+    .txt) before computing P/R — so precision_recall(read_ttl_shapes(A),
+    read_ttl_shapes(B)) compares this engine's output against a
+    reference-emitted .ttl directly. Parsing is Arrow-batched per shard
+    (shards are whole Turtle documents; shape sets are vocabulary-sized)."""
+    import re as _re
+
+    import pandas as _pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    raw = spark.read.text(path, wholetext=True)
+    ns_re = _re.compile(
+        r"<([^>]+)>\s+a\s+sh:NodeShape\s*;\s*\n\s*sh:targetClass\s+<([^>]+)>")
+    ps_re = _re.compile(
+        r"<([^>]+)>\s+a\s+sh:PropertyShape\s*;\s*\n\s*sh:path\s+<([^>]+)>")
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for doc in pdf["value"]:
+                for m in ns_re.finditer(doc):
+                    rows.append(("NS", m.group(1), m.group(2)))
+                for m in ps_re.finditer(doc):
+                    rows.append(("PS", m.group(1), m.group(2)))
+            yield _pd.DataFrame(rows, columns=["kind", "shape", "key"])
+
+    schema = StructType([StructField("kind", StringType()),
+                         StructField("shape", StringType()),
+                         StructField("key", StringType())])
+    return raw.mapInPandas(_parse, schema).distinct()
 
 
 # ----------------------------------------------------------- P/R (V1 parity)

@@ -137,3 +137,80 @@ def test_min_cardinality_rule(spark):
     for r in out.collect():
         expected = 1 if (r["support"] > 1 and r["confidence"] > 0.5) else None
         assert r["min_count_exp"] == expected, r
+
+
+def test_negative_shapes_sh_not(spark, tmp_path):
+    """S13 back half: complement rows become sh:not wrapper shapes with the
+    reference's _PS_NotShape naming, and they render into the TTL."""
+    from qse_spark.shapes import negative_shapes
+    st = _stats(spark)
+    # (A, p, C) has support 2 / conf 1.0; (A, p, xsd:integer) support 1 ->
+    # conf 0.5 -> negative under (0.5, 2)
+    neg = negative_shapes(st, confidence=0.5, support=2)
+    rows = {(r["target_class"], r["path"]): r for r in neg.collect()}
+    assert ("A", "p") in rows
+    r = rows[("A", "p")]
+    assert r["not_shape"] == f"{SHAPES_NAMESPACE}pA_PS_NotShape"
+    assert r["prop_shape"] == f"{SHAPES_NAMESPACE}pAShapeProperty"
+    ns = node_shapes(st)
+    out = str(tmp_path / "neg.ttl")
+    write_ttl(ns.coalesce(1), property_shapes(st).limit(0).coalesce(1), out,
+              neg_props=neg.coalesce(1))
+    import glob
+    body = open(glob.glob(f"{out}/part-*")[0]).read()
+    assert f"sh:not <{SHAPES_NAMESPACE}pA_PS_NotShape>" in body
+    assert f"<{SHAPES_NAMESPACE}pA_PS_NotShape> a sh:NodeShape" in body
+
+
+def test_annotate_examples_and_ttl(spark, tmp_path):
+    """E4: example annotations join into shape records and render as
+    <http://example.org/example> lines."""
+    from qse_spark.constants import EXAMPLE_PRED
+    from qse_spark.operators.examples import example_nodes, example_values
+    from qse_spark.shapes import annotate_examples
+    from qse_spark.stats import entity_types_df
+    st = _stats(spark)
+    t = spark.createDataFrame(MICRO, ["subject", "predicate", "object",
+                                      "obj_kind"])
+    ets = entity_types_df(t)
+    exn = example_nodes(ets, k=2, seed=100)
+    exv = example_values(
+        t.filter(F.col("predicate") != "rdf:type")
+        .select(F.col("subject").alias("entity"),
+                F.col("predicate").alias("property"),
+                F.col("object").alias("obj_value")),
+        ets, k=2, seed=100)
+    n2, p2 = annotate_examples(node_shapes(st), property_shapes(st), exn, exv)
+    nrows = {r["target_class"]: r["examples"] for r in n2.collect()}
+    assert set(nrows["A"].split("|")) == {"e1", "e2"}
+    prows = {(r["target_class"], r["path"]): r["examples"]
+             for r in p2.collect()}
+    assert set(prows[("A", "p")].split("|")) <= {"o1", "5"}
+    assert prows[("A", "rdf:type")] is None      # E2 excludes type triples
+    out = str(tmp_path / "ex.ttl")
+    write_ttl(n2.coalesce(1), p2.coalesce(1), out)
+    import glob
+    body = open(glob.glob(f"{out}/part-*")[0]).read()
+    assert f"<{EXAMPLE_PRED}>" in body
+
+
+def test_read_ttl_shapes_roundtrip(spark, tmp_path):
+    """V1 tooling: write_ttl -> read_ttl_shapes recovers exactly the shape
+    keys, so P/R can run against reference-emitted TTL files."""
+    from qse_spark.shapes import read_ttl_shapes
+    st = _stats(spark)
+    ns, ps = node_shapes(st), property_shapes(st)
+    out = str(tmp_path / "rt.ttl")
+    write_ttl(ns.coalesce(1), ps.coalesce(1), out)
+    back = read_ttl_shapes(spark, out)
+    got_ns = {(r["shape"], r["key"]) for r in
+              back.filter(F.col("kind") == "NS").collect()}
+    exp_ns = {(r["node_shape"], f"{SHAPES_NAMESPACE}{r['target_class']}")
+              for r in ns.collect()}
+    assert got_ns == exp_ns
+    got_ps = {r["shape"] for r in back.filter(F.col("kind") == "PS").collect()}
+    exp_ps = {r["prop_shape"] for r in ps.collect()}
+    assert got_ps == exp_ps
+    from qse_spark.shapes import precision_recall
+    pr = precision_recall(back, back)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0

@@ -1,0 +1,64 @@
+"""V2 — SHACL-core validation report (qse_spark.validation), mirroring
+QseSHACLValidator.java:70-134 for the constraint kinds QSE emits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qse_spark.validation import validation_report
+
+# Fixture: class A has 3 instances. Property q: e1 has it twice (violates
+# the maxCount=1 the ∃-semantics derives from e2's single use), e3 lacks it
+# entirely. Property p: e3 uses a rare integer objType that pruning removes
+# while the dominant class-C objType survives -> valueType violation.
+TRIPLES = [
+    ("e1", "rdf:type", "A", "iri"),
+    ("e2", "rdf:type", "A", "iri"),
+    ("e3", "rdf:type", "A", "iri"),
+    ("o1", "rdf:type", "C", "iri"),
+    ("e1", "p", "o1", "iri"),
+    ("e2", "p", "o1", "iri"),
+    ("e3", "p", "7", "integer"),     # support 1/3 -> pruned at conf 0.5
+    ("e1", "q", "x", "string"),
+    ("e1", "q", "y", "string"),      # cardinality 2
+    ("e2", "q", "z", "string"),      # cardinality 1 -> maxCount=1 flag
+]
+
+
+def _report(spark, conf, supp):
+    t = spark.createDataFrame(TRIPLES, ["subject", "predicate", "object",
+                                        "obj_kind"])
+    return validation_report(t, conf, supp)
+
+
+def test_max_count_violation(spark):
+    rows = _report(spark, 0.5, 1).filter(
+        F.col("violation") == "maxCount").collect()
+    assert {(r["focus"], r["property"], r["cnt"]) for r in rows} == {
+        ("e1", "q", 2)}
+
+
+def test_value_type_violation_from_pruning(spark):
+    rows = _report(spark, 0.5, 1).filter(
+        F.col("violation") == "valueType").collect()
+    # e3's integer objType for p was pruned (conf 1/3 <= 0.5) while the
+    # shape for (A, p) survived via the class-C row
+    assert {(r["focus"], r["property"], r["obj_type"]) for r in rows} == {
+        ("e3", "p", "xsd:integer")}
+
+
+def test_no_violations_against_default_shapes(spark):
+    """Validating the corpus against its own UNPRUNED shapes can only yield
+    maxCount rows (∃-semantics); min/valueType are consistent by
+    construction."""
+    rep = _report(spark, 0.0, 1)
+    kinds = {r["violation"] for r in rep.collect()}
+    assert "minCount" not in kinds
+    assert "valueType" not in kinds
+
+
+def test_pruned_class_not_validated(spark):
+    """A class whose node shape fails the support gate produces no report
+    rows at all (no shape -> no constraint)."""
+    rep = _report(spark, 0.5, 100)      # class_count 3 <= 100 -> no shapes
+    assert rep.count() == 0
