@@ -117,11 +117,18 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
     cand = (a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
 
+    # verify only touches candidate docs: semi-join prunes the shingle
+    # table to the (typically tiny) candidate fraction of the corpus
+    # before the pair-shingle join
+    cand_docs = (cand.select(F.col("id_a").alias("doc_id"))
+                 .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+                 .distinct())
+    shc = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (cand
-              .join(sh.select(F.col("doc_id").alias("id_a"), "shingle"),
+              .join(shc.select(F.col("doc_id").alias("id_a"), "shingle"),
                     "id_a")
-              .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+              .join(shc.select(F.col("doc_id").alias("id_b"), "shingle"),
                     ["id_b", "shingle"])
               .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
     verified = (shared

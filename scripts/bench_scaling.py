@@ -66,6 +66,12 @@ def main():
     thr_lo = r_lo["throughput"]["turns_per_sec"]
     thr_hi = r_hi["throughput"]["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # per-stage efficiency (ADVICE r1): e2e alone over-credits whichever
+    # stage dominates wall time; report each stage's own speedup/4 so the
+    # shuffle-bound back-half is visible next to the extraction headline
+    stage_eff = {
+        s: round((r_lo["queries"][s] / r_hi["queries"][s]) / (hi / lo), 3)
+        for s in r_lo["queries"]}
     report = {
         "n_turns": n_turns,
         "local_low": {"cpus": lo, "e2e_sec": r_lo["value"],
@@ -74,6 +80,7 @@ def main():
                        "turns_per_sec": thr_hi, "stages": r_hi["queries"]},
         "speedup": round(thr_hi / thr_lo, 3),
         "scaling_efficiency": round(eff, 3),
+        "stage_efficiency": stage_eff,
         "criterion": ">= 0.8",
         "pass": eff >= 0.8,
     }
@@ -94,11 +101,27 @@ def main():
                   f"{r['throughput']['turns_per_sec']} | {s['p1_extract_group']} | "
                   f"{s['p2_linking']} | {s['p3_cc']} | {s['p4_canonicalize']} "
                   f"| {s['p5_stats']} |")
+    se = report["stage_efficiency"]
     md += [
+        "| per-stage efficiency (t_lo/t_hi/4) | — | — | "
+        + " | ".join(str(se[s]) for s in ["p1_extract_group", "p2_linking",
+                                          "p3_cc", "p4_canonicalize",
+                                          "p5_stats"]) + " |",
         "",
         f"**Speedup {lo}→{hi} executors: {report['speedup']}x; scaling "
         f"efficiency {report['scaling_efficiency']} "
         f"({'PASS' if report['pass'] else 'BELOW'} the ≥0.8 criterion).**",
+        "",
+        "Scope of the claim: at this input size the e2e number is dominated",
+        "by the embarrassingly-parallel extraction stage (the realistic",
+        "regime — at 10^12 turns extraction is a larger share still, since",
+        "the back-half stages operate on the vocabulary-sized aggregate, not",
+        "the corpus). The per-stage row above is the honest split: the",
+        "shuffle-bound back-half stages (linking/cc/canonicalize/stats) run",
+        "in seconds on a vocabulary that does NOT grow with the replicated",
+        "corpus, so their wall time is scheduler-latency-bound here and",
+        "their efficiency numbers are not meaningful at this stage size;",
+        "they are reported so the e2e headline cannot be over-read.",
         "",
         "```json",
         json.dumps(report),

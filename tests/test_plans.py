@@ -86,3 +86,43 @@ def test_kernel_scan_parity_with_reference(triples_pq):
     # O(columns) rescans); Catalyst exchange reuse dedupes at runtime
     s2 = plan_summary(shape_stats(triples_pq))
     assert s2["scans"] <= 9, s2
+
+
+def test_simhash_plan_is_jvm_native(spark):
+    """The r1 verdict flagged the simhash core as per-character Python;
+    the rewrite must keep the whole operator out of the Python runner —
+    no Arrow/pandas evaluation nodes anywhere in the plan."""
+    from qse_spark.operators.dedup import simhash
+    from qse_spark.plans import explain_str
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e f")],
+                                 ["doc_id", "text"])
+    s = explain_str(simhash(docs))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas", "PythonUDF"):
+        assert marker not in s, f"{marker} in simhash plan"
+    assert "xxhash64" in s.lower()
+
+
+def test_minhash_verify_is_relational(spark):
+    """The exact-Jaccard verify must count shared shingles via joins, not
+    carry collect_set shingle arrays through the candidate join (the r1
+    100 TB 'weak' finding)."""
+    from qse_spark.operators.dedup import minhash_dedup
+    from qse_spark.plans import explain_str
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        ["doc_id", "text"])
+    s = explain_str(minhash_dedup(docs, tau=0.5))
+    assert "collect_set" not in s
+    assert "array_intersect" not in s
+
+
+def test_validation_report_broadcasts_shape_side(spark):
+    """Validation joins the (tiny) shape/class tables against the corpus —
+    those joins must be broadcast, never a shuffle of the entity table."""
+    from qse_spark.plans import explain_str
+    from qse_spark.validation import validation_report
+    t = spark.createDataFrame(ROWS, ["subject", "predicate", "object",
+                                     "obj_kind"])
+    s = explain_str(validation_report(t, 0.5, 1))
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
