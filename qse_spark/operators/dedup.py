@@ -114,8 +114,11 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
             .drop("bn"))
     a = keys.select("band", "key", F.col("doc_id").alias("id_a"))
     b = keys.select("band", "key", F.col("doc_id").alias("id_b"))
+    # persisted: the candidate set is consumed twice below (semi-join
+    # pruning + the pair-shingle join) and would otherwise re-run the
+    # whole signature/banding DAG per consumer
     cand = (a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .select("id_a", "id_b").distinct().persist())
 
     # verify only touches candidate docs: semi-join prunes the shingle
     # table to the (typically tiny) candidate fraction of the corpus
@@ -141,7 +144,11 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
                 .filter(F.col("jaccard") >= tau))
     edges = verified.select(F.col("id_a").cast("string").alias("src"),
                             F.col("id_b").cast("string").alias("dst"))
+    # connected_components eagerly checkpoints the edge set on entry, so
+    # the shingle/candidate caches are consumed exactly once and can go
     comp = connected_components(edges)
+    sh.unpersist()
+    cand.unpersist()
     clustered = comp.select(F.col("node").cast("long").alias("doc_id"),
                             F.col("component").cast("long").alias("keeper_id"))
     # lexicographic string-min != numeric min; recompute numeric keeper
