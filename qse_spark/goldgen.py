@@ -41,7 +41,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .testdata import FIXTURE_ROOT
-from .xxh import SPARK_SEED, hash_int, hash_long, xxh64
+from .xxh import SPARK_SEED, hash_int, hash_long, spark_xxhash64, xxh64
 
 _WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s (ASCII), not Python's
 
@@ -356,9 +356,84 @@ def gold_mm_frames(features: pa.Table, every_n: int = 8) -> pa.Table:
     })
 
 
+# ------------------------------------------------------------------ IVF ANN
+
+def gold_ivf_topk(vec_ids, embs, k: int = 10, n_centroids: int = 16,
+                  nprobe: int = 4, seed: int = 7,
+                  query_max: int = 5) -> pa.Table:
+    """Twin of similarity.ivf_topk: centroid pick = smallest
+    xxhash64(seed, vec_id) (hash_long fold, same as Spark's
+    xxhash64(lit(seed) cast long, vec_id)); per-vector cell = argmax of
+    `C_unit @ v` issued as the identical numpy dgemv the operator's
+    pandas_udf issues; re-rank = fold-left cosine like the other ANN
+    twins."""
+    hs = sorted((spark_xxhash64(int(seed), int(v)), int(v)) for v in vec_ids)
+    cent_ids = [v for _, v in hs[:n_centroids]]
+    by_id = dict(zip(vec_ids, embs))
+    cents = []
+    for cid in cent_ids:
+        v = np.asarray(by_id[cid], dtype=np.float64)
+        n = np.sqrt(v @ v)
+        cents.append(v / n if n > 0 else v)
+    cent = np.asarray(cents, dtype=np.float64)
+
+    def cells(e, probe: int) -> list[int]:
+        d = cent @ np.asarray(e, dtype=np.float64)
+        return np.argsort(-d, kind="stable")[:probe].tolist()
+
+    cell_of = {v: cells(e, 1)[0] for v, e in zip(vec_ids, embs)}
+    units = _units(vec_ids, embs)
+    queries = [v for v in vec_ids if v < query_max]
+    qi, vi, rk, cs = [], [], [], []
+    for q in sorted(queries):
+        probed = set(cells(by_id[q], nprobe))
+        scored = []
+        for v in vec_ids:
+            if v == q or cell_of[v] not in probed:
+                continue
+            scored.append((-_fold_dot(units[v], units[q]), v))
+        scored.sort()
+        for rank, (negc, v) in enumerate(scored[:k], start=1):
+            qi.append(q)
+            vi.append(v)
+            rk.append(rank)
+            cs.append(_round_half_up(-negc))
+    return pa.table({
+        "query_id": pa.array(qi, pa.int64()),
+        "vec_id": pa.array(vi, pa.int64()),
+        "rank": pa.array(rk, pa.int32()),
+        "cosine": pa.array(cs, pa.float64()),
+    })
+
+
+# --------------------------------------------------------------- winnowing
+
+def gold_winnow(docs: list[tuple[int, str]], k: int = 8,
+                w: int = 4) -> pa.Table:
+    """Twin of text.winnow_fingerprint: normalize (lower, ASCII-\\s runs to
+    one space, trim spaces), hash every char k-gram with xxhash64 (signed,
+    seed 42), keep the min of each window of w consecutive gram hashes,
+    distinct per doc."""
+    did_out, fp_out = [], []
+    for did, text in docs:
+        s = _WS.sub(" ", text.lower()).strip(" ")
+        n = len(s)
+        hs = [spark_xxhash64(s[i:i + k])
+              for i in range(max(n - k, 0) + 1)]
+        g = len(hs)
+        fps = {min(hs[p:p + w]) for p in range(max(g - w, 0) + 1)}
+        for fp in sorted(fps):
+            did_out.append(did)
+            fp_out.append(fp)
+    return pa.table({
+        "doc_id": pa.array(did_out, pa.int64()),
+        "fp": pa.array(fp_out, pa.int64()),
+    })
+
+
 # ------------------------------------------------------------ orchestration
 
-_GOLD_VERSION = 1
+_GOLD_VERSION = 2
 
 
 def ensure_training_gold(sf_dir: str) -> str:
@@ -396,6 +471,11 @@ def ensure_training_gold(sf_dir: str) -> str:
                    os.path.join(out_dir, "lsh_ann_topk.parquet"))
     pq.write_table(gold_cosine_near_dup(vec_ids, embs, tau=0.9, dim=64),
                    os.path.join(out_dir, "cosine_near_dup.parquet"))
+    pq.write_table(gold_ivf_topk(vec_ids, embs, k=10, n_centroids=16,
+                                 nprobe=4),
+                   os.path.join(out_dir, "ivf_topk.parquet"))
+    pq.write_table(gold_winnow(docs, k=8, w=4),
+                   os.path.join(out_dir, "winnow.parquet"))
     feats = gold_mm_features(docs)
     pq.write_table(feats, os.path.join(out_dir, "mm_features.parquet"))
     pq.write_table(gold_mm_frames(feats, every_n=8),

@@ -16,6 +16,7 @@ final top-k."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -114,3 +115,80 @@ def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.95, dim: int = 64,
             .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= tau)
             .select("id_a", "id_b", "cosine").distinct())
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 7,
+                  id_col: str = "vec_id", col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse quantizer: the `n_centroids` corpus vectors
+    whose `xxhash64(seed, vec_id)` is smallest, unit-normalized (a seeded
+    uniform draw both this operator and the independent gold twin
+    reproduce bit-for-bit — no k-means iterations, so no RNG state to
+    ship). The selection is a `TakeOrderedAndProject` (per-partition
+    top-n, merged on the driver), NOT a global sort — one corpus scan,
+    no shuffle, and the only driver-side collect in the operator is the
+    n_centroids rows every IVF index collects by design."""
+    picked = (emb.select(F.col(id_col).alias("cid"),
+                         F.col(col).cast("array<double>").alias("cv"))
+              .orderBy(F.xxhash64(F.lit(int(seed)).cast("long"),
+                                  F.col("cid")), F.col("cid"))
+              .limit(int(n_centroids))
+              .collect())
+    cents = []
+    for r in picked:
+        v = np.asarray(r["cv"], dtype=np.float64)
+        n = np.sqrt(v @ v)
+        cents.append(v / n if n > 0 else v)
+    return np.asarray(cents, dtype=np.float64)
+
+
+def _ivf_cells_udf(cent_unit: np.ndarray, probe: int):
+    """pandas_udf: per row, the `probe` nearest coarse cells by dot product
+    against the (broadcast-by-closure) unit centroid matrix. Vectorized
+    numpy per row (`C @ v`, one dgemv per row — the twin in goldgen.py
+    issues the identical call, so float64 results agree bit-for-bit);
+    nearest-cell by cosine needs only the CENTROIDS normalized, because
+    |v| is constant across a row's candidates."""
+    @F.pandas_udf("array<int>")
+    def cells(vs: pd.Series) -> pd.Series:
+        out = []
+        for e in vs:
+            d = cent_unit @ np.asarray(e, dtype=np.float64)
+            order = np.argsort(-d, kind="stable")[:probe]
+            out.append(order.astype(np.int32))
+        return pd.Series(out)
+
+    return cells
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 7,
+             id_col: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize the corpus into `n_centroids`
+    cells (one cell per vector, assigned map-side by a closure-broadcast
+    centroid matrix — no join, no shuffle), probe the query's `nprobe`
+    nearest cells, exact-cosine re-rank inside the probed cells.
+
+    The scale path next to lsh_ann_topk: at 100 TB the corpus pass is a
+    single mapInArrow-style projection, the only shuffle is the candidate
+    equi-join on `cell` (bounded by nprobe/n_centroids of the corpus per
+    query), and the query side is broadcast. Recall vs brute force is
+    asserted in tests/test_training_ops.py."""
+    cent = ivf_centroids(emb, n_centroids, seed, id_col, col)
+    assign = _ivf_cells_udf(cent, 1)
+    probe = _ivf_cells_udf(cent, nprobe)
+    e = (with_unit_norm(emb, col)
+         .select(F.col(id_col).alias("vec_id"), F.col("_unit").alias("v"),
+                 F.element_at(assign(F.col(col)), 1).alias("cell")))
+    q = (with_unit_norm(queries, col)
+         .select(F.col(id_col).alias("query_id"), F.col("_unit").alias("qv"),
+                 F.explode(probe(F.col(col))).alias("cell")))
+    scored = (e.join(F.broadcast(q), "cell")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("cosine", _dot(F.col("v"), F.col("qv")))
+              .select("query_id", "vec_id", "cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

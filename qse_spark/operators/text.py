@@ -84,3 +84,38 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     DuckDB oracle reproduces it bit-for-bit)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (Schleimer et al.,
+    SIGMOD'03 rolling-hash fingerprinting): hash every character k-gram of
+    the whitespace-normalized lowercase text with xxhash64, slide a window
+    of `w` consecutive gram hashes, keep the minimum of each window,
+    distinct. Robust to local edits where the whole-document md5
+    fingerprint() is not.
+
+    All native expressions: posexplode(sequence) enumerates gram positions,
+    `min().over(partitionBy(doc_id).orderBy(pos).rowsBetween(0, w-1))`
+    is the sliding-window minimum — partitioned by document, so the
+    window never crosses executors and the operator scales with the
+    corpus. Docs shorter than k chars contribute their single short gram;
+    windows that would run past the last gram are dropped (`pos <=
+    n_grams - w`, floored at 0 so short docs keep window 0)."""
+    from pyspark.sql.window import Window
+    txt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", txt.alias("t"),
+                       F.length(txt).alias("n"))
+    grams = (base.select(
+        "doc_id", "n", "t",
+        F.posexplode(F.sequence(F.lit(0),
+                                F.greatest(F.col("n") - k, F.lit(0))))
+        .alias("p", "_i"))
+        .select("doc_id", "n", "p",
+                F.xxhash64(F.substring(F.col("t"), F.col("p") + 1, k))
+                .alias("h")))
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    n_grams = F.greatest(F.col("n") - k, F.lit(0)) + 1
+    return (grams
+            .withColumn("fp", F.min("h").over(win))
+            .filter(F.col("p") <= F.greatest(n_grams - w, F.lit(0)))
+            .select("doc_id", "fp").distinct())

@@ -122,3 +122,36 @@ def test_ntriples_roundtrip_escapes_and_bad_langstring(spark, tmp_path):
         ("d4", "greet", "no-lang-suffix", "string")}
     assert got == expect
 
+
+
+def test_streaming_session_window_parity(spark, tmp_path):
+    """Streaming session_window (append mode + watermark) emits exactly the
+    batch sessions whose end precedes the final watermark — and on this
+    fixture the late tail is small, so the check is non-vacuous."""
+    import shutil
+
+    from qse_spark.streaming.sessions import session_agg, sessionize_stream
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    shutil.copy(src, stream_dir / "part-000.parquet")
+
+    events = spark.read.parquet(src)
+    batch = {tuple(r) for r in session_agg(events, "30 minutes").collect()}
+
+    stream = sessionize_stream(spark, str(stream_dir), gap="30 minutes",
+                               watermark="1 hour")
+    q = (stream.writeStream.format("memory").queryName("stream_sessions")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in
+               spark.sql("SELECT * FROM stream_sessions").collect()}
+    finally:
+        q.stop()
+    assert got, "no sessions emitted before the final watermark"
+    assert got <= batch
+    # the watermark holds back only sessions ending within 1h+gap of the
+    # fixture's max ts; everything else must have been emitted
+    assert len(got) >= int(0.5 * len(batch))

@@ -124,3 +124,18 @@ def test_dropped_shingle_report(spark):
     rep = dedup.dropped_shingle_report(d, k=3, max_df=5).collect()
     assert {r["shingle"] for r in rep} == {"common boiler plate"}
     assert rep[0]["df"] == 6
+
+
+def test_ivf_topk_gold(emb, gold_dir):
+    out = (similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5),
+                               k=10, n_centroids=16, nprobe=4)
+           .select("query_id", "vec_id", "rank",
+                   F.round("cosine", 6).alias("cosine")))
+    _assert_bitexact(out, f"{gold_dir}/ivf_topk.parquet",
+                     ["query_id", "rank"])
+
+
+def test_winnow_gold(docs, gold_dir):
+    from qse_spark.operators import text
+    _assert_bitexact(text.winnow_fingerprint(docs, k=8, w=4),
+                     f"{gold_dir}/winnow.parquet", ["doc_id", "fp"])

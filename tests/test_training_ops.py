@@ -136,3 +136,55 @@ def test_multimodal_stub_plumbing(spark):
     assert got == again
     frames = multimodal.frame_sample(feats, every_n=4).collect()
     assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    # same clustered corpus as the LSH recall test: with enough probes the
+    # query's own cluster cell is always searched
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((20, 16))
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((10, 16))
+                           for c in centers]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") % 10 == 0).limit(10)
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             similarity.brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              similarity.ivf_topk(emb, q, k=5, n_centroids=12,
+                                  nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+
+
+def test_winnow_local_edit_robustness(spark):
+    # winnowing keeps most fingerprints under a single word edit, where the
+    # whole-doc md5 fingerprint flips entirely
+    from qse_spark.operators import text as T
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest until the morning light")
+    edited = base.replace("quiet", "silent")
+    docs = spark.createDataFrame([(0, base), (1, edited)],
+                                 ["doc_id", "text"])
+    fps = T.winnow_fingerprint(docs, k=8, w=4).collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 0}
+    b = {r["fp"] for r in fps if r["doc_id"] == 1}
+    overlap = len(a & b) / len(a | b)
+    assert overlap >= 0.5
+    md5 = {r["doc_id"]: r["fp"] for r in T.fingerprint(docs).collect()}
+    assert md5[0] != md5[1]
+
+
+def test_winnow_short_and_empty_docs(spark):
+    from qse_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "hi"), (2, "exactly8"), (3, "a bit longer than k")],
+        ["doc_id", "text"])
+    rows = T.winnow_fingerprint(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # every doc contributes exactly one fingerprint window here
+    assert set(by_doc) == {0, 1, 2, 3}
+    assert all(len(v) >= 1 for v in by_doc.values())
