@@ -155,3 +155,39 @@ def test_streaming_session_window_parity(spark, tmp_path):
     # the watermark holds back only sessions ending within 1h+gap of the
     # fixture's max ts; everything else must have been emitted
     assert len(got) >= int(0.5 * len(batch))
+
+
+def test_stateful_first_seen_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState streaming-distinct: a (entity, class) pair
+    arriving in two micro-batches is emitted exactly once, and the final
+    emitted set equals the batch distinct."""
+    from pyspark.sql import functions as F
+
+    from qse_spark.streaming.stateful import first_seen_pairs
+
+    rows1 = [("alice", "Person"), ("bob", "Person"), ("alice", "Person")]
+    rows2 = [("alice", "Person"), ("alice", "Employee"), ("carol", "Person")]
+    in_dir = tmp_path / "pairs_in"
+    in_dir.mkdir()
+    # one file per micro-batch (maxFilesPerTrigger=1)
+    spark.createDataFrame(rows1, ["entity", "class"]).coalesce(1) \
+        .write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(rows2, ["entity", "class"]).coalesce(1) \
+        .write.parquet(str(in_dir / "b2"))
+
+    stream = (spark.readStream.schema("entity string, class string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(in_dir) + "/*"))
+    q = (first_seen_pairs(stream)
+         .writeStream.format("memory").queryName("first_seen")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = [(r["entity"], r["class"]) for r in
+               spark.sql("SELECT * FROM first_seen").collect()]
+    finally:
+        q.stop()
+    # emitted exactly once per distinct pair — no duplicates at all
+    assert sorted(got) == sorted(set(got))
+    assert set(got) == {("alice", "Person"), ("alice", "Employee"),
+                        ("bob", "Person"), ("carol", "Person")}
