@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from qse_spark.operators import dedup, similarity  # noqa: E402
+from qse_spark.operators import text as text_ops  # noqa: E402
 from qse_spark.oracles import TPCH_TRIPLES_SQL  # noqa: E402
 from qse_spark.pipeline import (PipelineConfig,  # noqa: E402
                                 canonicalize_triples)
@@ -186,6 +187,12 @@ def main():
     q["q_events_window"] = best_of(
         lambda: (ev.groupBy(F.window("ts", "1 hour"), "event_type")
                  .agg(F.count("*"), F.sum("value")).count()))
+    q["q_sim_ivf"] = best_of(
+        lambda: similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 20), k=10,
+            n_centroids=16, nprobe=4).count())
+    q["q_text_winnow"] = best_of(
+        lambda: text_ops.winnow_fingerprint(docs, k=8, w=4).count())
 
     out = {
         "metric": "kg_pipeline_e2e",

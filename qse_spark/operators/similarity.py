@@ -159,7 +159,11 @@ def _ivf_cells_udf(cent_unit: np.ndarray, probe: int):
             out.append(order.astype(np.int32))
         return pd.Series(out)
 
-    return cells
+    # the function IS deterministic, but without this flag Catalyst inlines
+    # it into the equi-join's isnotnull(cell) filter and evaluates the UDF
+    # twice per corpus row (two stacked ArrowEvalPython nodes — asserted
+    # single in tests/test_plans.py)
+    return cells.asNondeterministic()
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,

@@ -126,3 +126,40 @@ def test_validation_report_broadcasts_shape_side(spark):
                                      "obj_kind"])
     s = explain_str(validation_report(t, 0.5, 1))
     assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
+
+
+def test_winnow_plan_is_jvm_native(spark):
+    """Winnowing must stay native end-to-end: no Python evaluation nodes,
+    one partition-local window (no extra exchanges beyond the doc_id
+    hash + the final distinct)."""
+    from qse_spark.operators.text import winnow_fingerprint
+    from qse_spark.plans import explain_str
+    docs = spark.createDataFrame([(1, "some text about winnowing here")],
+                                 ["doc_id", "text"])
+    s = explain_str(winnow_fingerprint(docs, k=8, w=4))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "PythonUDF"):
+        assert marker not in s, f"{marker} in winnow plan"
+    assert "xxhash64" in s.lower()
+
+
+def test_ivf_broadcasts_query_side(spark):
+    """IVF re-rank joins corpus cells to the (small, exploded) query probe
+    side — the query side must be broadcast, never a corpus shuffle."""
+    from qse_spark.operators.similarity import ivf_topk
+    from qse_spark.plans import explain_str
+    import numpy as np
+    rng = np.random.default_rng(0)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+        ["vec_id", "embedding"])
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5,
+                   n_centroids=8, nprobe=2)
+    s = explain_str(out)
+    assert "BroadcastHashJoin" in s
+    # exactly one UDF evaluation per side (corpus assign + query probe) —
+    # without asNondeterministic the join's isnotnull(cell) filter makes
+    # Catalyst evaluate the corpus UDF twice
+    nodes = [ln for ln in s.splitlines()
+             if "ArrowEvalPython" in ln and ln.strip().startswith("(")]
+    assert len(nodes) == 2, nodes
