@@ -121,3 +121,33 @@ def test_cc_empty_edge_set(spark):
     cmap = canonical_map(empty)
     assert cmap.columns == ["mention_id", "canonical_id"]
     assert cmap.count() == 0
+
+
+def test_tfidf_cosine_pairs_properties(spark):
+    """North-star TF-IDF scorer: identical token multisets score 1.0,
+    disjoint ones produce no pair, and a shared rare token outscores a
+    shared ubiquitous one (the idf weighting doing its job)."""
+    from qse_spark.operators.linking import tfidf_cosine_pairs
+    docs = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme corp"),          # identical
+         (3, "zz ww"),                                 # disjoint
+         (4, "common rare_x"), (5, "common rare_x"),   # rare overlap
+         (6, "common qq"), (7, "common pp")],          # common-only overlap
+        ["doc_id", "text"])
+    rows = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_cosine_pairs(docs, tau=0.0, id_col="doc_id",
+                                        text_col="text").collect()}
+    assert abs(rows[(1, 2)] - 1.0) < 1e-9
+    assert not any(3 in p for p in rows)
+    assert rows[(4, 5)] > rows[(6, 7)]
+
+
+def test_tfidf_scores_core_aliases(spark):
+    """Scoring mention cores: underscore tokens split, so suffix-extended
+    aliases share their token weights."""
+    from qse_spark.operators.linking import tfidf_cosine_pairs
+    cores = spark.createDataFrame(
+        [("acme_corp",), ("acme_corp_inc",), ("other_co",)], ["core"])
+    got = {(r["id_a"], r["id_b"]) for r in
+           tfidf_cosine_pairs(cores, tau=0.3).collect()}
+    assert ("acme_corp", "acme_corp_inc") in got
