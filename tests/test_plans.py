@@ -163,3 +163,18 @@ def test_ivf_broadcasts_query_side(spark):
     nodes = [ln for ln in s.splitlines()
              if "ArrowEvalPython" in ln and ln.strip().startswith("(")]
     assert len(nodes) == 2, nodes
+
+
+def test_no_per_row_python_in_hot_paths():
+    """SURVEY §7 lint: the input_hint forbids per-row Python. Hot-path
+    operator modules must never use row-at-a-time F.udf or drop to .rdd —
+    only Arrow-batched pandas UDFs / mapInPandas or native expressions."""
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parents[1] / "qse_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        for pat in ("F.udf(", ".rdd.", "@udf(", "sc.parallelize"):
+            if pat in src:
+                offenders.append((str(p), pat))
+    assert not offenders, offenders
