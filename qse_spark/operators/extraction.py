@@ -74,31 +74,39 @@ TEMPLATES = [
 
 
 def _norm_series(s: pd.Series) -> pd.Series:
-    """Vectorized twin of textnorm.normalize_surface (ASCII inputs)."""
-    return (s.str.lower()
-            .str.replace(r"[ .\-_]+", " ", regex=True)
-            .str.replace(r"[^a-z0-9 ]", "", regex=True)
-            .str.strip()
-            .str.replace(" ", "_", regex=False))
+    """Vectorized twin of textnorm.normalize_surface (ASCII inputs).
+
+    Mentions repeat heavily (the surface vocabulary is orders of magnitude
+    smaller than the corpus), so normalize each DISTINCT surface once and
+    map it back — profiling showed the per-occurrence regex chain was ~35%
+    of the whole extraction batch."""
+    u = pd.Series(s.unique())
+    normed = (u.str.lower()
+              .str.replace(r"[ .\-_]+", " ", regex=True)
+              .str.replace(r"[^a-z0-9 ]", "", regex=True)
+              .str.strip()
+              .str.replace(" ", "_", regex=False))
+    return s.map(pd.Series(normed.values, index=u.values))
 
 
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out = []
     text = pdf["text"].fillna("")
-    unmatched = pd.Series(True, index=pdf.index)
+    # `remaining` shrinks as templates claim rows, so each needle gate
+    # scans only the still-unmatched suffix of the batch (the gates were
+    # ~30% of batch time when run over the full column every template)
+    remaining = text
     for pred, needle, rx, subj_cls, obj_cls, obj_kind in TEMPLATES:
-        gate = unmatched & text.str.contains(needle, regex=False)
+        gate = remaining.str.contains(needle, regex=False)
         if not gate.any():
             continue
-        ext = text[gate].str.extract(rx)
+        ext = remaining[gate].str.extract(rx)
         hit_local = ext[0].notna()
         if not hit_local.any():
             continue
         ext = ext[hit_local]
-        hit = pd.Series(False, index=pdf.index)
-        hit[ext.index] = True
-        unmatched &= ~hit
-        sub = pdf.loc[hit, ["conv_id", "turn_idx"]].reset_index(drop=True)
+        remaining = remaining.drop(ext.index)
+        sub = pdf.loc[ext.index, ["conv_id", "turn_idx"]].reset_index(drop=True)
         s_norm = _norm_series(ext[0].reset_index(drop=True))
 
         def emit(subject, predicate, obj, kind):
