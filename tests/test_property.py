@@ -1,0 +1,100 @@
+"""Hypothesis property tests over the twin-parity surfaces (SURVEY §5:
+property-based checks). Each Spark-backed test batches one generated LIST
+of inputs into a single job, so hypothesis explores structure without
+paying per-example JVM round-trips.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60)
+
+_SPARK_SETTINGS = settings(
+    deadline=None, max_examples=5,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=60))
+@settings(deadline=None, max_examples=200)
+def test_norm_vectorized_matches_scalar(texts):
+    """The pandas extraction normalizer and the scalar textnorm twin are
+    the same function on printable-ASCII surfaces."""
+    from qse_spark.operators.extraction import _norm_series
+    from qse_spark.textnorm import normalize_surface
+    got = _norm_series(pd.Series(texts, dtype=object)).tolist()
+    exp = [normalize_surface(t) for t in texts]
+    assert got == exp
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=100))
+@_SPARK_SETTINGS
+def test_xxh64_twin_matches_spark_on_arbitrary_strings(spark, texts):
+    """Pure-Python XXH64 == Spark xxhash64 for arbitrary unicode strings
+    (the twin underpins every gold oracle that reproduces band keys,
+    simhash signatures and winnow fingerprints)."""
+    from qse_spark.xxh import SPARK_SEED, _signed, xxh64
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = {r["s"]: r["h"]
+           for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for t in set(texts):
+        assert got[t] == _signed(xxh64(t.encode("utf-8"), SPARK_SEED)), t
+
+
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=25))
+@_SPARK_SETTINGS
+def test_winnow_twin_matches_spark(spark, texts):
+    from qse_spark.goldgen import gold_winnow
+    from qse_spark.operators.text import winnow_fingerprint
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["doc_id"], r["fp"])
+           for r in winnow_fingerprint(df, k=8, w=4).collect()}
+    gold = gold_winnow(docs, k=8, w=4)
+    exp = set(zip(gold["doc_id"].to_pylist(), gold["fp"].to_pylist()))
+    assert got == exp
+
+
+_LITERAL = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF,
+                           exclude_characters="\n\r\t"),
+    min_size=0, max_size=30)
+
+
+@given(st.lists(st.tuples(_LITERAL, st.sampled_from(
+    ["string", "integer", "date", "iri", "langString"])),
+    min_size=1, max_size=30))
+@_SPARK_SETTINGS
+def test_ntriples_roundtrip_arbitrary_literals(spark, tmp_path_factory, rows):
+    """write_ntriples -> read_ntriples is the identity for arbitrary
+    literal payloads (quotes, backslashes, unicode) — the r1-advice
+    escaping fixes, fuzzed. langString objects need a real '@lang'
+    suffix; iri objects must be non-empty tokens, so those two kinds are
+    remapped onto well-formed carriers while keeping the payload."""
+    from qse_spark.sources.ntriples import read_ntriples, write_ntriples
+    data = []
+    for i, (lit, kind) in enumerate(rows):
+        if kind == "iri":
+            obj = f"obj{i}"
+        elif kind == "langString":
+            obj = lit.replace("@", "") + "@en"
+        elif kind == "integer":
+            obj = str(len(lit))
+        elif kind == "date":
+            obj = "2020-01-02"
+        else:
+            obj = lit
+        data.append((f"s{i}", f"p{i % 3}", obj, kind))
+    df = spark.createDataFrame(data, ["subject", "predicate", "object",
+                                      "obj_kind"])
+    out = str(tmp_path_factory.mktemp("ntfuzz") / "t.nt")
+    write_ntriples(df, out)
+    got = {tuple(r) for r in read_ntriples(spark, out).collect()}
+    exp = {(f"http://ex.org/s{i}", f"http://ex.org/p{i % 3}",
+            f"http://ex.org/{o}" if k == "iri" else o, k)
+           for (s, p, o, k), (i, _) in zip(data, enumerate(rows))}
+    assert got == exp
