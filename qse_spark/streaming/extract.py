@@ -9,7 +9,7 @@ streaming extraction + windowed/stateful aggregation:
 
 The stats kernel's aggregations are algebraic (see stats.py), so streaming
 partial aggregation is semantically identical to the batch kernel — the
-batch/stream parity test (tests/test_streaming.py) asserts it."""
+batch/stream parity test (tests/test_sources_streaming.py) asserts it."""
 
 from __future__ import annotations
 

@@ -90,3 +90,28 @@ def test_relative_support_pruning(spark, fixture_dir):
     assert 0 < kept <= full
     # S == 1 edge: everything with conf > 0 survives
     assert prune_sampled(ap, confidence=0.0, support=1).count() == full
+
+
+def test_approx_vs_exact_shape_pr(spark, fixture_dir):
+    """The reference's headline experiment (WikiData_PrecisionRecall.csv:
+    NS P/R 1.00/1.00, PS P/R 1.00/0.94 at reservoir 1000 / pct 100):
+    approximate shape sets against exact ones. Sampling can only OMIT
+    constraint rows (every sampled observation is a real observation), so
+    precision must be exactly 1.0; dynamic caps keep >=1 entity per class,
+    so node-shape recall must be exactly 1.0; property-shape recall
+    degrades gracefully with the sample (criterion mirrors the
+    reference's 0.9 ballpark)."""
+    gold = spark.read.parquet(f"{fixture_dir}/gold_triples.parquet").drop("cnt")
+    exact = shape_stats(gold).cache()
+    approx = approx_shape_stats(gold, max_cap=200, target_pct=50.0,
+                                seed=100, bully=False).cache()
+    exact_ns = {r["class"] for r in exact.select("class").distinct().collect()}
+    approx_ns = {r["class"] for r in approx.select("class").distinct().collect()}
+    assert approx_ns == exact_ns                      # NS P/R 1.00 / 1.00
+    exact_ps = {(r["class"], r["property"], r["obj_type"])
+                for r in exact.collect()}
+    approx_ps = {(r["class"], r["property"], r["obj_type"])
+                 for r in approx.collect()}
+    assert approx_ps <= exact_ps                      # PS precision 1.00
+    recall = len(approx_ps & exact_ps) / len(exact_ps)
+    assert recall >= 0.9, recall
