@@ -120,22 +120,60 @@ def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
                     "score"))
 
 
+def _tfidf_shingle_links(sh_dim: DataFrame, tau: float, bands: int,
+                         rows: int, max_block: int) -> DataFrame:
+    """TF-IDF cosine verify over the same LSH candidates, with the 3-gram
+    shingles as terms (so single-token typo aliases still overlap, unlike
+    full-token terms). idf down-weights near-stopword grams, which plain
+    Jaccard counts at full weight — the scorer the north star names."""
+    cand = _candidate_pairs(sh_dim.select("core", "sh"), bands, rows,
+                            max_block)
+    terms = sh_dim.select("core", F.explode("sh").alias("g"))
+    n_docs = sh_dim.count()
+    dfq = terms.groupBy("g").agg(F.count_distinct("core").alias("df"))
+    tf = terms.groupBy("core", "g").agg(F.count("*").alias("tf"))
+    w = (tf.join(dfq, "g")
+         .withColumn("w", F.col("tf") *
+                     (F.lit(1.0) + F.log(F.lit(float(n_docs + 1))
+                                         / (F.col("df") + 1)))))
+    norm = w.groupBy("core").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    ww = w.join(norm, "core")
+    a = ww.select(F.col("core").alias("a"), "g", F.col("w").alias("w_a"),
+                  F.col("norm").alias("n_a"))
+    b = ww.select(F.col("core").alias("b"), "g", F.col("w").alias("w_b"),
+                  F.col("norm").alias("n_b"))
+    return (cand.join(a, "a").join(b, ["b", "g"])
+            .groupBy("a", "b")
+            .agg((F.sum(F.col("w_a") * F.col("w_b"))
+                  / (F.max("n_a") * F.max("n_b"))).alias("score"))
+            .filter(F.col("score") >= tau)
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                    "score"))
+
+
 def link_mentions(mentions: DataFrame, tau: float = DEFAULT_TAU,
                   bands: int = DEFAULT_BANDS,
                   rows: int = DEFAULT_ROWS_PER_BAND,
-                  max_block: int = 2000) -> DataFrame:
-    """mentions(mention_id) -> fuzzy core links(src, dst, score>=tau)."""
+                  max_block: int = 2000,
+                  scorer: str = "jaccard") -> DataFrame:
+    """mentions(mention_id) -> fuzzy core links(src, dst, score>=tau).
+    scorer: 'jaccard' (exact 3-gram Jaccard, the gold-pinned default) or
+    'tfidf' (idf-weighted cosine over the same shingle terms)."""
     sh_dim = (mention_cores(mentions).select("core").distinct()
               .withColumn("sh", shingles_col("core"))
               .withColumn("n", F.size("sh"))
               .persist())
+    if scorer == "tfidf":
+        return _tfidf_shingle_links(sh_dim, tau, bands, rows, max_block)
     return _fuzzy_links(sh_dim, tau, bands, rows, max_block)
 
 
 def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
                   bands: int = DEFAULT_BANDS,
                   rows: int = DEFAULT_ROWS_PER_BAND,
-                  max_block: int = 2000) -> DataFrame:
+                  max_block: int = 2000,
+                  scorer: str = "jaccard") -> DataFrame:
     """Full CC input: fuzzy core-core edges ∪ mention->core edges.
 
     Core node ids live in the same string space as mention ids (a core IS a
@@ -164,7 +202,9 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
     proj = cores.select(F.col("mention_id").alias("src"),
                         core_node.alias("dst"),
                         F.lit(1.0).alias("score"))
-    fuzzy = _fuzzy_links(sh_dim, tau, bands, rows, max_block).select(
+    score_fn = (_tfidf_shingle_links if scorer == "tfidf"
+                else _fuzzy_links)
+    fuzzy = score_fn(sh_dim, tau, bands, rows, max_block).select(
         F.concat(F.lit("\x7f"), F.col("src")).alias("src"),
         F.concat(F.lit("\x7f"), F.col("dst")).alias("dst"),
         "score")

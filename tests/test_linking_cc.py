@@ -151,3 +151,19 @@ def test_tfidf_scores_core_aliases(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            tfidf_cosine_pairs(cores, tau=0.3).collect()}
     assert ("acme_corp", "acme_corp_inc") in got
+
+
+def test_tfidf_scorer_reconstructs_gold_clusters(spark, fixture_dir, mentions):
+    """Swapping the Jaccard verify for the TF-IDF shingle-cosine scorer
+    must still recover the gold canonical map almost exactly (P/R >= 0.95
+    of (mention, canonical) pairs) — the two scorers agree on which
+    candidates are real aliases, they just weight the evidence
+    differently."""
+    gold = {(r["mention_id"], r["canonical_id"]) for r in spark.read.parquet(
+        f"{fixture_dir}/gold_canonical_map.parquet").collect()}
+    got = {(r["mention_id"], r["canonical_id"]) for r in canonical_map(
+        linking_edges(mentions, tau=0.5, scorer="tfidf")).collect()}
+    inter = len(gold & got)
+    precision = inter / len(got)
+    recall = inter / len(gold)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
