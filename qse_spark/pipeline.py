@@ -36,6 +36,7 @@ class PipelineConfig:
     rows_per_band: int = 3
     max_block: int = 2000
     salt: int = 0                      # conversation-salt partitions (0 = off)
+    scorer: str = "jaccard"            # linking verify: 'jaccard' | 'tfidf'
     type_predicate: str = TYPE_PREDICATE
     thresholds: list = field(default_factory=lambda: [(0.25, 1)])
 
@@ -104,7 +105,8 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
     groups, h2 = _stage("triple_groups", h1, lambda: group_triples(triples))
     links, h3 = _stage("links", h2, lambda: linking_edges(
         mentions_from_triples(groups), tau=cfg.tau, bands=cfg.bands,
-        rows=cfg.rows_per_band, max_block=cfg.max_block))
+        rows=cfg.rows_per_band, max_block=cfg.max_block,
+        scorer=cfg.scorer))
     cmap, h4 = _stage("canonical_map", h3, lambda: canonical_map(links))
     canon, h5 = _stage("canonical_triples", h4,
                        lambda: canonicalize_triples(groups, cmap))

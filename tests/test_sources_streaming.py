@@ -191,3 +191,47 @@ def test_stateful_first_seen_across_microbatches(spark, tmp_path):
     assert sorted(got) == sorted(set(got))
     assert set(got) == {("alice", "Person"), ("alice", "Employee"),
                         ("bob", "Person"), ("carol", "Person")}
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, fixture_dir,
+                                                   tmp_path):
+    """Stop a checkpointed streaming extraction mid-corpus, add more input,
+    restart with the same checkpoint dir: the parquet sink ends up with
+    exactly the batch-extraction rows — nothing duplicated, nothing lost
+    (the streaming face of the pipeline's resume guarantee)."""
+    import shutil
+
+    from qse_spark.operators.extraction import extract_triples
+    from qse_spark.streaming.extract import streaming_extract
+
+    src = f"{fixture_dir}/transcripts.parquet"
+    half = spark.read.parquet(src)
+    convs = [r["conv_id"] for r in half.select("conv_id").distinct()
+             .orderBy("conv_id").collect()]
+    cut = set(convs[:len(convs) // 2])
+
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out_parquet")
+    ck_dir = str(tmp_path / "ckpt")
+    from pyspark.sql import functions as F
+    half.filter(F.col("conv_id").isin(cut)).coalesce(1) \
+        .write.parquet(str(in_dir / "b1"))
+
+    def run_once():
+        q = (streaming_extract(spark, str(in_dir) + "/*")
+             .writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck_dir)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()                                    # first half, then "crash"
+    half.filter(~F.col("conv_id").isin(cut)).coalesce(1) \
+        .write.parquet(str(in_dir / "b2"))
+    run_once()                                    # restart from checkpoint
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    exp = sorted(map(tuple,
+                     extract_triples(spark.read.parquet(src)).collect()))
+    assert got == exp
