@@ -119,3 +119,35 @@ def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
             .withColumn("fp", F.min("h").over(win))
             .filter(F.col("p") <= F.greatest(n_grams - w, F.lit(0)))
             .select("doc_id", "fp").distinct())
+
+
+# PII patterns — conservative ASCII classes that parse identically in Java
+# regex (Spark) and RE2 (DuckDB), so the oracle reproduces the redaction
+# bit-for-bit. Order matters: emails first (phone digits can appear in
+# local parts), then phones, then bare IPv4s.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\+[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_redacted, n_email, n_phone, n_ipv4) — mask emails,
+    international-format phone numbers and bare IPv4 addresses with typed
+    placeholder tokens, counting each match class before replacement.
+
+    A standard pre-training hygiene pass: all native regexp expressions
+    (whole-stage codegen, no UDFs), one projection over the corpus — at
+    100 TB this is a pure map stage with zero shuffle."""
+    redacted = F.col(text_col)
+    counts = []
+    for name, rx, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(rx), 0))
+            .alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, rx, token)
+    return docs.select("doc_id", *counts,
+                       redacted.alias("text_redacted"))

@@ -188,3 +188,23 @@ def test_winnow_short_and_empty_docs(spark):
     # every doc contributes exactly one fingerprint window here
     assert set(by_doc) == {0, 1, 2, 3}
     assert all(len(v) >= 1 for v in by_doc.values())
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from qse_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or call +1 (555) 123-4567"),
+         (2, "server at 192.168.0.1 and 8.8.8.8"),
+         (3, "no pii here"),
+         (4, "two mails a@b.io c@d.co one ip 1.2.3.4")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in T.redact_pii(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "<EMAIL>" in got[1]["text_redacted"]
+    assert "<PHONE>" in got[1]["text_redacted"]
+    assert "bob.smith" not in got[1]["text_redacted"]
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["text_redacted"] == "server at <IP> and <IP>"
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
+    assert got[3]["text_redacted"] == "no pii here"
+    assert got[4]["n_email"] == 2 and got[4]["n_ipv4"] == 1
