@@ -223,6 +223,25 @@ def gold_simhash_pairs(docs: list[tuple[int, str]],
     })
 
 
+def gold_simhash_clusters(docs: list[tuple[int, str]],
+                          pairs: pa.Table) -> pa.Table:
+    """Twin of dedup.simhash_dedup_clusters: union-find over the pair graph,
+    keeper = min doc_id per component, singletons self-map."""
+    uf = _UnionFind()
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        uf.union(a, b)
+    keeper: dict[int, int] = {}
+    for did, _ in docs:
+        root = uf.find(did)
+        keeper[root] = min(keeper.get(root, did), did)
+    dids = sorted(d for d, _ in docs)
+    return pa.table({
+        "doc_id": pa.array(dids, pa.int64()),
+        "keeper_id": pa.array([keeper[uf.find(d)] for d in dids],
+                              pa.int64()),
+    })
+
+
 # --------------------------------------------------------------- similarity
 
 def _buckets(vec_ids, embs, dim: int, n_planes: int, seed: int):
@@ -433,7 +452,7 @@ def gold_winnow(docs: list[tuple[int, str]], k: int = 8,
 
 # ------------------------------------------------------------ orchestration
 
-_GOLD_VERSION = 2
+_GOLD_VERSION = 3
 
 
 def ensure_training_gold(sf_dir: str) -> str:
@@ -465,8 +484,10 @@ def ensure_training_gold(sf_dir: str) -> str:
 
     pq.write_table(gold_minhash_dedup(docs, tau=0.5, k=3),
                    os.path.join(out_dir, "minhash_dedup.parquet"))
-    pq.write_table(gold_simhash_pairs(docs, hamming=3),
-                   os.path.join(out_dir, "simhash_pairs.parquet"))
+    sp = gold_simhash_pairs(docs, hamming=3)
+    pq.write_table(sp, os.path.join(out_dir, "simhash_pairs.parquet"))
+    pq.write_table(gold_simhash_clusters(docs, sp),
+                   os.path.join(out_dir, "simhash_clusters.parquet"))
     pq.write_table(gold_lsh_ann_topk(vec_ids, embs, dim=64, k=10, n_planes=8),
                    os.path.join(out_dir, "lsh_ann_topk.parquet"))
     pq.write_table(gold_cosine_near_dup(vec_ids, embs, tau=0.9, dim=64),

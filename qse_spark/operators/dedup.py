@@ -214,3 +214,27 @@ def simhash_dedup(docs: DataFrame, hamming: int = 3,
     return (a.join(b, ["blk", "key"]).filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", dist.alias("hamming")).distinct()
             .filter(F.col("hamming") <= hamming))
+
+
+def simhash_dedup_clusters(docs: DataFrame, hamming: int = 3,
+                           blocks: int = 4) -> DataFrame:
+    """(doc_id, keeper_id) — near-dup clusters from the simhash pair graph
+    (connected components, keeper = numeric min doc_id per component,
+    singletons map to themselves) — the same keeper contract as
+    minhash_dedup, so either dedup family drops into the same downstream
+    filter."""
+    pairs = simhash_dedup(docs, hamming=hamming, blocks=blocks)
+    edges = pairs.select(F.col("id_a").cast("string").alias("src"),
+                         F.col("id_b").cast("string").alias("dst"))
+    comp = connected_components(edges)
+    clustered = comp.select(F.col("node").cast("long").alias("doc_id"),
+                            F.col("component").cast("long").alias("keeper_id"))
+    # component ids are lexicographic string minima; recompute numeric min
+    keeper = (clustered.groupBy("keeper_id")
+              .agg(F.min("doc_id").alias("k2")))
+    clustered = (clustered.join(keeper, "keeper_id")
+                 .select("doc_id", F.col("k2").alias("keeper_id")))
+    singletons = (docs.select("doc_id")
+                  .join(clustered.select("doc_id"), "doc_id", "left_anti")
+                  .withColumn("keeper_id", F.col("doc_id")))
+    return clustered.unionByName(singletons)

@@ -47,7 +47,8 @@ def test_query_matches_oracle(spark, duck_views, name):
     # sf0.001 only non-fixture oracles are value-checked.
     GOLD_PINNED = {"dedup_minhash", "dedup_simhash_pairs", "sim_lsh_ann_topk",
                    "sim_cosine_near_dup", "mm_decode_features",
-                   "mm_frame_sample", "sim_ivf_topk", "text_winnow_fp"}
+                   "mm_frame_sample", "sim_ivf_topk", "text_winnow_fp",
+                   "dedup_simhash_clusters"}
     if name.startswith("kg_") or name == "src_ntriples_roundtrip" \
             or name in GOLD_PINNED:
         pytest.skip("fixture-pinned oracles target the sf0.01 fixture "

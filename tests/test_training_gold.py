@@ -139,3 +139,8 @@ def test_winnow_gold(docs, gold_dir):
     from qse_spark.operators import text
     _assert_bitexact(text.winnow_fingerprint(docs, k=8, w=4),
                      f"{gold_dir}/winnow.parquet", ["doc_id", "fp"])
+
+
+def test_simhash_clusters_gold(docs, gold_dir):
+    _assert_bitexact(dedup.simhash_dedup_clusters(docs, hamming=3),
+                     f"{gold_dir}/simhash_clusters.parquet", ["doc_id"])
