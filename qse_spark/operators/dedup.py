@@ -127,7 +127,11 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
                  .unionByName(cand.select(F.col("id_b").alias("doc_id")))
                  .distinct())
     shc = sh.join(cand_docs, "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # sizes come from the candidate-pruned table too: every doc surviving
+    # the joins below is a candidate doc, and aggregating the full shingle
+    # table here would shuffle a corpus-sized (doc_id, n) aggregate for a
+    # typically ~0.1% candidate fraction
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     shared = (cand
               .join(shc.select(F.col("doc_id").alias("id_a"), "shingle"),
                     "id_a")
@@ -142,16 +146,24 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
                 .withColumn("jaccard", F.col("inter")
                             / (F.col("n_a") + F.col("n_b") - F.col("inter")))
                 .filter(F.col("jaccard") >= tau))
-    edges = verified.select(F.col("id_a").cast("string").alias("src"),
-                            F.col("id_b").cast("string").alias("dst"))
     # connected_components eagerly checkpoints the edge set on entry, so
     # the shingle/candidate caches are consumed exactly once and can go
-    comp = connected_components(edges)
+    clusters = _cc_keeper_clusters(docs, verified)
     sh.unpersist()
     cand.unpersist()
+    return clusters
+
+
+def _cc_keeper_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, keeper_id) from a duplicate-pair graph: connected
+    components, keeper = NUMERIC min doc_id per component (CC's component
+    ids are lexicographic string minima), singletons self-map. Shared
+    keeper contract of minhash_dedup and simhash_dedup_clusters."""
+    edges = pairs.select(F.col("id_a").cast("string").alias("src"),
+                         F.col("id_b").cast("string").alias("dst"))
+    comp = connected_components(edges)
     clustered = comp.select(F.col("node").cast("long").alias("doc_id"),
                             F.col("component").cast("long").alias("keeper_id"))
-    # lexicographic string-min != numeric min; recompute numeric keeper
     keeper = (clustered.groupBy("keeper_id").agg(F.min("doc_id").alias("k2"))
               .select(F.col("keeper_id"), F.col("k2")))
     clustered = (clustered.join(keeper, "keeper_id")
@@ -223,18 +235,6 @@ def simhash_dedup_clusters(docs: DataFrame, hamming: int = 3,
     singletons map to themselves) — the same keeper contract as
     minhash_dedup, so either dedup family drops into the same downstream
     filter."""
-    pairs = simhash_dedup(docs, hamming=hamming, blocks=blocks)
-    edges = pairs.select(F.col("id_a").cast("string").alias("src"),
-                         F.col("id_b").cast("string").alias("dst"))
-    comp = connected_components(edges)
-    clustered = comp.select(F.col("node").cast("long").alias("doc_id"),
-                            F.col("component").cast("long").alias("keeper_id"))
-    # component ids are lexicographic string minima; recompute numeric min
-    keeper = (clustered.groupBy("keeper_id")
-              .agg(F.min("doc_id").alias("k2")))
-    clustered = (clustered.join(keeper, "keeper_id")
-                 .select("doc_id", F.col("k2").alias("keeper_id")))
-    singletons = (docs.select("doc_id")
-                  .join(clustered.select("doc_id"), "doc_id", "left_anti")
-                  .withColumn("keeper_id", F.col("doc_id")))
-    return clustered.unionByName(singletons)
+    return _cc_keeper_clusters(docs,
+                               simhash_dedup(docs, hamming=hamming,
+                                             blocks=blocks))

@@ -33,8 +33,13 @@ from pyspark.sql.window import Window
 
 def string_dictionary(df: DataFrame, col: str,
                       method: str = "hash") -> DataFrame:
-    """(id bigint, value string) — one row per distinct value of `col`."""
-    d = df.select(F.col(col).cast("string").alias("value")).distinct()
+    """(id bigint, value string) — one row per distinct non-NULL value of
+    `col`. NULLs get no dictionary row (encode_column leaves them NULL):
+    encoding them would also make the 'sorted' ids engine-dependent
+    (Spark windows sort NULLS FIRST, SQL DENSE_RANK defaults NULLS
+    LAST)."""
+    d = (df.select(F.col(col).cast("string").alias("value"))
+         .filter(F.col("value").isNotNull()).distinct())
     if method == "hash":
         return d.select(F.xxhash64("value").alias("id"), "value")
     if method == "sorted":

@@ -128,22 +128,14 @@ def _tfidf_shingle_links(sh_dim: DataFrame, tau: float, bands: int,
     Jaccard counts at full weight — the scorer the north star names."""
     cand = _candidate_pairs(sh_dim.select("core", "sh"), bands, rows,
                             max_block)
-    terms = sh_dim.select("core", F.explode("sh").alias("g"))
-    n_docs = sh_dim.count()
-    dfq = terms.groupBy("g").agg(F.count_distinct("core").alias("df"))
-    tf = terms.groupBy("core", "g").agg(F.count("*").alias("tf"))
-    w = (tf.join(dfq, "g")
-         .withColumn("w", F.col("tf") *
-                     (F.lit(1.0) + F.log(F.lit(float(n_docs + 1))
-                                         / (F.col("df") + 1)))))
-    norm = w.groupBy("core").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
-    ww = w.join(norm, "core")
-    a = ww.select(F.col("core").alias("a"), "g", F.col("w").alias("w_a"),
+    terms = sh_dim.select(F.col("core").alias("id"),
+                          F.explode("sh").alias("tok"))
+    ww = _weights_from_terms(terms, sh_dim.count(), max_df=2 ** 31 - 1)
+    a = ww.select(F.col("id").alias("a"), "tok", F.col("w").alias("w_a"),
                   F.col("norm").alias("n_a"))
-    b = ww.select(F.col("core").alias("b"), "g", F.col("w").alias("w_b"),
+    b = ww.select(F.col("id").alias("b"), "tok", F.col("w").alias("w_b"),
                   F.col("norm").alias("n_b"))
-    return (cand.join(a, "a").join(b, ["b", "g"])
+    return (cand.join(a, "a").join(b, ["b", "tok"])
             .groupBy("a", "b")
             .agg((F.sum(F.col("w_a") * F.col("w_b"))
                   / (F.max("n_a") * F.max("n_b"))).alias("score"))
@@ -213,22 +205,13 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
 
 # ------------------------------------------------------- TF-IDF cosine path
 
-def tfidf_weights(docs: DataFrame, id_col: str = "core",
-                  text_col: str = "core",
-                  max_df: int = 10000) -> DataFrame:
-    """(id, tok, w, norm) — smoothed TF-IDF weights over underscore/space
-    tokens, plus the doc's L2 norm (repeated per row for the join-side
-    division). idf = 1 + ln((N+1)/(df+1)); tokens above `max_df` are
-    dropped like stopwords (observable: compare distinct-token counts).
-
-    Fully relational — at corpus scale this is the classic inverted-index
-    weighting: one explode, two aggregations, no UDFs."""
-    toks = (docs.select(F.col(id_col).alias("id"),
-                        F.explode(F.split(F.col(text_col), r"[_\s]+"))
-                        .alias("tok"))
-            .filter(F.length("tok") > 0))
-    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
-    n_docs = docs.select(id_col).distinct().count()
+def _weights_from_terms(terms: DataFrame, n_docs: int,
+                        max_df: int) -> DataFrame:
+    """(id, tok, w, norm) from raw (id, tok) term occurrences — the one
+    TF-IDF formula both scorers share: w = tf * (1 + ln((N+1)/(df+1))),
+    norm = per-doc L2; terms in more than `max_df` docs are dropped like
+    stopwords. Fully relational: two aggregations, no UDFs."""
+    tf = terms.groupBy("id", "tok").agg(F.count("*").alias("tf"))
     dfreq = (tf.groupBy("tok")
              .agg(F.count("*").alias("df"))
              .filter(F.col("df") <= max_df))
@@ -239,6 +222,21 @@ def tfidf_weights(docs: DataFrame, id_col: str = "core",
     norm = (w.groupBy("id")
             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")))
     return w.join(norm, "id").select("id", "tok", "w", "norm")
+
+
+def tfidf_weights(docs: DataFrame, id_col: str = "core",
+                  text_col: str = "core",
+                  max_df: int = 10000) -> DataFrame:
+    """(id, tok, w, norm) — smoothed TF-IDF weights over underscore/space
+    tokens, plus the doc's L2 norm (repeated per row for the join-side
+    division). N counts ALL docs (token-less docs included) so idf does
+    not drift when empty docs exist."""
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.split(F.col(text_col), r"[_\s]+"))
+                        .alias("tok"))
+            .filter(F.length("tok") > 0))
+    return _weights_from_terms(toks, docs.select(id_col).distinct().count(),
+                               max_df)
 
 
 def tfidf_cosine_pairs(docs: DataFrame, tau: float = 0.3,

@@ -141,10 +141,19 @@ def negative_shapes(stats: DataFrame, confidence: float, support: int,
     """
     neg = prune_negative(stats, confidence, support)
     ps = property_shapes(neg, type_predicate)
-    return ps.withColumn(
+    return (ps.withColumn(
         "not_shape",
         F.concat(F.lit(SHAPES_NAMESPACE), _local(F.col("path")),
                  _local(F.col("target_class")), F.lit("_PS_NotShape")))
+        # the inner negated property shape gets its OWN IRI: reusing the
+        # positive `...ShapeProperty` name would define one subject twice
+        # with conflicting constraints when positive and negative shapes
+        # are written into the same TTL graph
+        .withColumn(
+        "prop_shape",
+        F.concat(F.lit(SHAPES_NAMESPACE), _local(F.col("path")),
+                 _local(F.col("target_class")),
+                 F.lit("NegShapeProperty"))))
 
 
 def annotate_examples(nodes: DataFrame, props: DataFrame,
@@ -158,7 +167,7 @@ def annotate_examples(nodes: DataFrame, props: DataFrame,
     (string_agg ... ORDER BY rnk)."""
     def _agg(df, keys, col):
         return (df.groupBy(*keys)
-                .agg(F.concat_ws("|", F.transform(
+                .agg(F.concat_ws("\x1f", F.transform(
                     F.array_sort(F.collect_list(F.struct("rnk", col))),
                     lambda x: x[col])).alias("examples")))
 
@@ -293,14 +302,16 @@ def _dtype_iri(label: str) -> str:
 
 
 def _ttl_escape(v: str) -> str:
-    return v.replace("\\", "\\\\").replace('"', '\\"')
+    return (v.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r")
+            .replace("\t", "\\t"))
 
 
 def _example_lines(r) -> list[str]:
     if not r.get("examples"):
         return []
     return [f'  <{EXAMPLE_PRED}> "{_ttl_escape(e)}" ;'
-            for e in str(r["examples"]).split("|")]
+            for e in str(r["examples"]).split("\x1f")]
 
 
 def _prop_block(r) -> str:

@@ -58,17 +58,29 @@ def validation_report(triples: DataFrame, confidence: float, support: int,
     ns_gate = (F.col("class_count") >= support) if support == 1 \
         else (F.col("class_count") > support)
     ns = node_shapes(stats).filter(ns_gate)
+    # no persist: kept_rows is a vocabulary-sized aggregate consumed by two
+    # branches of ONE returned plan — caching it here would leak executor
+    # storage on every call (nothing could ever unpersist it), and Spark's
+    # exchange reuse already dedupes the recompute inside one action
     kept_rows = kept_rows.join(
         F.broadcast(ns.select(F.col("target_class").alias("class"))),
-        "class", "left_semi").persist()
+        "class", "left_semi")
     ps = property_shapes(kept_rows, type_predicate)
 
     focus = (etypes.join(
         F.broadcast(ns.select(F.col("target_class").alias("class"))),
         "class", "left_semi"))
     tagged = tagged_constraint_rows(triples, etypes)
-    cardinality = (tagged.groupBy("entity", "property")
-                   .agg(F.sum("weight").alias("cnt")))
+    # SHACL sh:maxCount counts VALUE NODES, so cardinality here comes from
+    # the raw triples — NOT from tagged_constraint_rows, whose rows fan out
+    # per object class (an object with k rdf:types would inflate cnt to k;
+    # that k-fanout is the faithful S6 semantics for the KERNEL's maxCount
+    # flag, but it is wrong for a validation report)
+    w = F.col("cnt") if "cnt" in triples.columns else F.lit(1)
+    cardinality = (triples
+                   .groupBy(F.col("subject").alias("entity"),
+                            F.col("predicate").alias("property"))
+                   .agg(F.sum(w).alias("cnt")))
 
     # minCount: (class, path) shapes with sh:minCount 1 x focus nodes of
     # the class that never use the path

@@ -151,7 +151,10 @@ def test_negative_shapes_sh_not(spark, tmp_path):
     assert ("A", "p") in rows
     r = rows[("A", "p")]
     assert r["not_shape"] == f"{SHAPES_NAMESPACE}pA_PS_NotShape"
-    assert r["prop_shape"] == f"{SHAPES_NAMESPACE}pAShapeProperty"
+    # the inner negated prop shape must NOT reuse the positive
+    # `...ShapeProperty` IRI (one subject, conflicting constraints when
+    # both shape sets land in one TTL graph)
+    assert r["prop_shape"] == f"{SHAPES_NAMESPACE}pANegShapeProperty"
     ns = node_shapes(st)
     out = str(tmp_path / "neg.ttl")
     write_ttl(ns.coalesce(1), property_shapes(st).limit(0).coalesce(1), out,
@@ -182,10 +185,10 @@ def test_annotate_examples_and_ttl(spark, tmp_path):
         ets, k=2, seed=100)
     n2, p2 = annotate_examples(node_shapes(st), property_shapes(st), exn, exv)
     nrows = {r["target_class"]: r["examples"] for r in n2.collect()}
-    assert set(nrows["A"].split("|")) == {"e1", "e2"}
+    assert set(nrows["A"].split("\x1f")) == {"e1", "e2"}
     prows = {(r["target_class"], r["path"]): r["examples"]
              for r in p2.collect()}
-    assert set(prows[("A", "p")].split("|")) <= {"o1", "5"}
+    assert set(prows[("A", "p")].split("\x1f")) <= {"o1", "5"}
     assert prows[("A", "rdf:type")] is None      # E2 excludes type triples
     out = str(tmp_path / "ex.ttl")
     write_ttl(n2.coalesce(1), p2.coalesce(1), out)
