@@ -217,3 +217,22 @@ def test_read_ttl_shapes_roundtrip(spark, tmp_path):
     from qse_spark.shapes import precision_recall
     pr = precision_recall(back, back)
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+
+
+def test_positive_and_negative_shapes_share_one_ttl(spark, tmp_path):
+    """The review-found collision: writing positive AND negative shapes
+    into one TTL must not define any property-shape subject twice (the
+    negated inner shape has its own NegShapeProperty IRI)."""
+    import glob
+    import re
+
+    from qse_spark.shapes import negative_shapes
+    st = _stats(spark)
+    ns, ps = pruned_shapes(st, 0.5, 2)
+    neg = negative_shapes(st, confidence=0.5, support=2)
+    out = str(tmp_path / "both.ttl")
+    write_ttl(ns.coalesce(1), ps.coalesce(1), out, neg_props=neg.coalesce(1))
+    body = open(glob.glob(f"{out}/part-*")[0]).read()
+    subjects = re.findall(r"<([^>]+)> a sh:(?:PropertyShape|NodeShape)", body)
+    assert len(subjects) == len(set(subjects)), sorted(subjects)
+    assert any(s.endswith("pANegShapeProperty") for s in subjects)
