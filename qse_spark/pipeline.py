@@ -39,6 +39,13 @@ class PipelineConfig:
     scorer: str = "jaccard"            # linking verify: 'jaccard' | 'tfidf'
     type_predicate: str = TYPE_PREDICATE
     thresholds: list = field(default_factory=lambda: [(0.25, 1)])
+    # QSE-Approximate mode (reference entry point 2): per-class capped
+    # sampling + sampling-adjusted confidence instead of exact stats
+    approx: bool = False
+    approx_max_cap: int = 1000
+    approx_target_pct: float = 100.0
+    approx_seed: int = 100
+    approx_bully: bool = False
 
 
 def group_triples(triples: DataFrame) -> DataFrame:
@@ -112,8 +119,16 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
                        lambda: canonicalize_triples(groups, cmap))
     # the canonical table's cnt column feeds the kernel as a multiplicity
     # weight — no re-expansion of duplicate triples
-    stats, h6 = _stage("shape_stats", h5, lambda: shape_stats(
-        canon, cfg.type_predicate))
+    def _final_stats():
+        if cfg.approx:
+            from .operators.sampling import approx_shape_stats
+            return approx_shape_stats(
+                canon, max_cap=cfg.approx_max_cap,
+                target_pct=cfg.approx_target_pct, seed=cfg.approx_seed,
+                bully=cfg.approx_bully,
+                type_predicate=cfg.type_predicate)
+        return shape_stats(canon, cfg.type_predicate)
+    stats, h6 = _stage("shape_stats", h5, _final_stats)
     return {"triples": triples, "triple_groups": groups, "links": links,
             "canonical_map": cmap, "canonical_triples": canon,
             "shape_stats": stats}

@@ -78,3 +78,23 @@ def test_config_change_invalidates(spark, fixture_dir, pipe):
     # tau feeds the links stage hash -> links and everything downstream rerun
     resumed = {c["stage"]: c["resumed"] for c in counters}
     assert not resumed["links"]
+
+
+def test_pipeline_approx_mode(spark, fixture_dir, tmp_path):
+    """PipelineConfig(approx=True) runs the QSE-Approximate entry point:
+    the final stage equals approx_shape_stats over the same canonical
+    triples, and its config hash differs from exact mode (no stale-stage
+    reuse across modes)."""
+    from qse_spark.operators.sampling import approx_shape_stats
+    from qse_spark.pipeline import PipelineConfig, run_pipeline
+    cfg = PipelineConfig(approx=True, approx_max_cap=50,
+                         approx_target_pct=80.0, approx_seed=100,
+                         approx_bully=False)
+    out = run_pipeline(spark, f"{fixture_dir}/transcripts.parquet",
+                       workdir=str(tmp_path / "w"), config=cfg)
+    direct = approx_shape_stats(out["canonical_triples"], max_cap=50,
+                                target_pct=80.0, seed=100, bully=False)
+    got = sorted(map(tuple, out["shape_stats"].collect()))
+    exp = sorted(map(tuple, direct.collect()))
+    assert got == exp
+    assert "sampled_class_count" in out["shape_stats"].columns
