@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--workdir", default="/tmp/qse-pipeline-work")
     ap.add_argument("--tau", type=float, default=0.55)
     ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--scorer", choices=["jaccard", "tfidf"],
+                    default="jaccard")
+    ap.add_argument("--approx", action="store_true",
+                    help="QSE-Approximate: sampling-adjusted statistics")
+    ap.add_argument("--approx-max-cap", type=int, default=1000)
+    ap.add_argument("--approx-target-pct", type=float, default=100.0)
     ap.add_argument("--fixture-turns", type=int, default=100_000)
     args = ap.parse_args()
 
@@ -49,7 +55,11 @@ def main():
     counters: list = []
     t0 = time.time()
     out = run_pipeline(spark, inp, workdir=args.workdir,
-                       config=PipelineConfig(tau=args.tau, salt=args.salt),
+                       config=PipelineConfig(
+                           tau=args.tau, salt=args.salt, scorer=args.scorer,
+                           approx=args.approx,
+                           approx_max_cap=args.approx_max_cap,
+                           approx_target_pct=args.approx_target_pct),
                        counters=counters)
     n = out["shape_stats"].count()
     print(json.dumps({"shape_stat_rows": n,
