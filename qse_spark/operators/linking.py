@@ -152,6 +152,8 @@ def link_mentions(mentions: DataFrame, tau: float = DEFAULT_TAU,
     """mentions(mention_id) -> fuzzy core links(src, dst, score>=tau).
     scorer: 'jaccard' (exact 3-gram Jaccard, the gold-pinned default) or
     'tfidf' (idf-weighted cosine over the same shingle terms)."""
+    if scorer not in ("jaccard", "tfidf"):
+        raise ValueError(f"unknown scorer {scorer!r}")
     sh_dim = (mention_cores(mentions).select("core").distinct()
               .withColumn("sh", shingles_col("core"))
               .withColumn("n", F.size("sh"))
@@ -177,6 +179,8 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
     The mention->core projection and the fuzzy path share one cached core
     table (mentions is scanned once).
     """
+    if scorer not in ("jaccard", "tfidf"):
+        raise ValueError(f"unknown scorer {scorer!r}")
     cores = mention_cores(mentions).persist()
     sh_dim = (cores.select("core").distinct()
               .withColumn("sh", shingles_col("core"))

@@ -135,7 +135,7 @@ PII_PATTERNS = [
 
 
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, text_redacted, n_email, n_phone, n_ipv4) — mask emails,
+    """(doc_id, n_email, n_phone, n_ipv4, text_redacted) — mask emails,
     international-format phone numbers and bare IPv4 addresses with typed
     placeholder tokens, counting each match class before replacement.
 

@@ -97,25 +97,33 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
     """Full run; returns the stage DataFrames. With a workdir, every stage
     checkpoints and a rerun resumes from the last complete stage."""
     cfg = config or PipelineConfig()
+    c = asdict(cfg)
     transcripts = spark.read.parquet(transcripts_path)
 
-    def _stage(name, upstream_hash, thunk):
+    # each stage hashes ONLY the config fields it consumes (plus the
+    # upstream hash chain): toggling a last-stage knob like approx must
+    # not invalidate the corpus-sized extraction checkpoint
+    def _stage(name, upstream_hash, fields, thunk):
         if workdir is None:
             return thunk(), upstream_hash
-        h = ckpt.config_hash([name, upstream_hash, asdict(cfg),
-                              transcripts_path])
+        h = ckpt.config_hash([name, upstream_hash,
+                              {k: c[k] for k in fields}, transcripts_path])
         return ckpt.stage(spark, os.path.join(workdir, name), name, h, thunk,
                           counters), h
 
-    triples, h1 = _stage("triples", "root", lambda: extract_triples(
-        transcripts, salt=cfg.salt))
-    groups, h2 = _stage("triple_groups", h1, lambda: group_triples(triples))
-    links, h3 = _stage("links", h2, lambda: linking_edges(
-        mentions_from_triples(groups), tau=cfg.tau, bands=cfg.bands,
-        rows=cfg.rows_per_band, max_block=cfg.max_block,
-        scorer=cfg.scorer))
-    cmap, h4 = _stage("canonical_map", h3, lambda: canonical_map(links))
-    canon, h5 = _stage("canonical_triples", h4,
+    triples, h1 = _stage("triples", "root", ["salt"],
+                         lambda: extract_triples(transcripts, salt=cfg.salt))
+    groups, h2 = _stage("triple_groups", h1, [],
+                        lambda: group_triples(triples))
+    links, h3 = _stage(
+        "links", h2, ["tau", "bands", "rows_per_band", "max_block", "scorer"],
+        lambda: linking_edges(
+            mentions_from_triples(groups), tau=cfg.tau, bands=cfg.bands,
+            rows=cfg.rows_per_band, max_block=cfg.max_block,
+            scorer=cfg.scorer))
+    cmap, h4 = _stage("canonical_map", h3, [],
+                      lambda: canonical_map(links))
+    canon, h5 = _stage("canonical_triples", h4, [],
                        lambda: canonicalize_triples(groups, cmap))
     # the canonical table's cnt column feeds the kernel as a multiplicity
     # weight — no re-expansion of duplicate triples
@@ -128,7 +136,11 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
                 bully=cfg.approx_bully,
                 type_predicate=cfg.type_predicate)
         return shape_stats(canon, cfg.type_predicate)
-    stats, h6 = _stage("shape_stats", h5, _final_stats)
+    stats, h6 = _stage(
+        "shape_stats", h5,
+        ["type_predicate", "approx", "approx_max_cap", "approx_target_pct",
+         "approx_seed", "approx_bully"],
+        _final_stats)
     return {"triples": triples, "triple_groups": groups, "links": links,
             "canonical_map": cmap, "canonical_triples": canon,
             "shape_stats": stats}

@@ -162,9 +162,10 @@ def annotate_examples(nodes: DataFrame, props: DataFrame,
     """E4 — attach `http://example.org/example` annotations to shapes
     (`ShapesExtractor.java:573-615`, `Main.java:33-38`): example entities
     from E1 onto node shapes, example object values from E2 onto property
-    shapes. Examples are rendered as a single '|'-joined string ordered by
-    sample rank — deterministic (md5-seeded E1/E2) and SQL-oracle-able
-    (string_agg ... ORDER BY rnk)."""
+    shapes. Examples are rendered as a single \\x1f-joined string ordered
+    by sample rank (unit separator: '|' can occur inside values) —
+    deterministic (md5-seeded E1/E2) and SQL-oracle-able
+    (string_agg ... chr(31) ORDER BY rnk)."""
     def _agg(df, keys, col):
         return (df.groupBy(*keys)
                 .agg(F.concat_ws("\x1f", F.transform(

@@ -71,16 +71,16 @@ def validation_report(triples: DataFrame, confidence: float, support: int,
         F.broadcast(ns.select(F.col("target_class").alias("class"))),
         "class", "left_semi"))
     tagged = tagged_constraint_rows(triples, etypes)
-    # SHACL sh:maxCount counts VALUE NODES, so cardinality here comes from
-    # the raw triples — NOT from tagged_constraint_rows, whose rows fan out
-    # per object class (an object with k rdf:types would inflate cnt to k;
-    # that k-fanout is the faithful S6 semantics for the KERNEL's maxCount
-    # flag, but it is wrong for a validation report)
-    w = F.col("cnt") if "cnt" in triples.columns else F.lit(1)
+    # SHACL sh:maxCount counts VALUE NODES — the DISTINCT objects of the
+    # path, NOT occurrences: duplicate assertions of one triple (or a cnt
+    # multiplicity column) are the same value node, and the per-object-
+    # class fanout of tagged_constraint_rows would inflate further (that
+    # fanout is the faithful S6 semantics for the KERNEL's maxCount flag,
+    # but it is wrong for a validation report)
     cardinality = (triples
                    .groupBy(F.col("subject").alias("entity"),
                             F.col("predicate").alias("property"))
-                   .agg(F.sum(w).alias("cnt")))
+                   .agg(F.countDistinct("object").alias("cnt")))
 
     # minCount: (class, path) shapes with sh:minCount 1 x focus nodes of
     # the class that never use the path

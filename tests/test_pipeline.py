@@ -98,3 +98,21 @@ def test_pipeline_approx_mode(spark, fixture_dir, tmp_path):
     exp = sorted(map(tuple, direct.collect()))
     assert got == exp
     assert "sampled_class_count" in out["shape_stats"].columns
+
+
+def test_approx_toggle_resumes_upstream_stages(spark, fixture_dir, tmp_path):
+    """Stage hashes cover only the config fields each stage consumes, so
+    flipping approx recomputes shape_stats but resumes extraction/
+    linking/CC from the exact run's checkpoints."""
+    from qse_spark.pipeline import PipelineConfig, run_pipeline
+    wd = str(tmp_path / "w")
+    run_pipeline(spark, f"{fixture_dir}/transcripts.parquet", workdir=wd,
+                 config=PipelineConfig())
+    counters = []
+    run_pipeline(spark, f"{fixture_dir}/transcripts.parquet", workdir=wd,
+                 config=PipelineConfig(approx=True, approx_max_cap=50),
+                 counters=counters)
+    resumed = {s["stage"]: s["resumed"] for s in counters}
+    assert resumed == {"triples": True, "triple_groups": True,
+                       "links": True, "canonical_map": True,
+                       "canonical_triples": True, "shape_stats": False}

@@ -199,8 +199,6 @@ def test_streaming_checkpoint_restart_exactly_once(spark, fixture_dir,
     restart with the same checkpoint dir: the parquet sink ends up with
     exactly the batch-extraction rows — nothing duplicated, nothing lost
     (the streaming face of the pipeline's resume guarantee)."""
-    import shutil
-
     from qse_spark.operators.extraction import extract_triples
     from qse_spark.streaming.extract import streaming_extract
 

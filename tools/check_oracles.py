@@ -56,10 +56,10 @@ def compare(name: str, spark_df, sql: str | None, con) -> tuple[bool, str]:
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    # gold-backed oracles (minhash/simhash/ANN/winnow/mm) must be computed
-    # from the SAME sf dir the Spark queries read, or the comparison is
-    # spuriously red at any sf other than the default
-    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf)
+    # gold-backed oracles (minhash/simhash/ANN/winnow/mm, kg_*) must be
+    # computed from the SAME sf dir the Spark queries read — plain
+    # assignment, so a stale export can never override the CLI argument
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf
     spark = get_spark(master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
