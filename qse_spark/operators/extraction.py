@@ -84,6 +84,10 @@ def _norm_series(s: pd.Series) -> pd.Series:
     normed = (u.str.lower()
               .str.replace(r"[ .\-_]+", " ", regex=True)
               .str.replace(r"[^a-z0-9 ]", "", regex=True)
+              # dropping a disallowed char can fuse two separator runs
+              # ("0.:_0" -> "0  0"); re-collapse so the result matches the
+              # scalar twin's whitespace-split semantics
+              .str.replace(r" +", " ", regex=True)
               .str.strip()
               .str.replace(" ", "_", regex=False))
     return s.map(pd.Series(normed.values, index=u.values))

@@ -7,7 +7,7 @@ paying per-example JVM round-trips.
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -21,6 +21,7 @@ _SPARK_SETTINGS = settings(
 
 @given(st.lists(ASCII_TEXT, min_size=1, max_size=60))
 @settings(deadline=None, max_examples=200)
+@example(texts=["0.:_0"])   # dropped char fusing two separator runs
 def test_norm_vectorized_matches_scalar(texts):
     """The pandas extraction normalizer and the scalar textnorm twin are
     the same function on printable-ASCII surfaces."""
