@@ -46,7 +46,9 @@ def test_xxh64_twin_matches_spark_on_arbitrary_strings(spark, texts):
         assert got[t] == _signed(xxh64(t.encode("utf-8"), SPARK_SEED)), t
 
 
-@given(st.lists(ASCII_TEXT, min_size=1, max_size=25))
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+    max_size=50), min_size=1, max_size=25))
 @_SPARK_SETTINGS
 def test_winnow_twin_matches_spark(spark, texts):
     from qse_spark.goldgen import gold_winnow
