@@ -151,3 +151,24 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         redacted = F.regexp_replace(redacted, rx, token)
     return docs.select("doc_id", *counts,
                        redacted.alias("text_redacted"))
+
+
+def winnow_dup_pairs(docs: DataFrame, k: int = 8, w: int = 4,
+                     min_shared: int = 2, max_df: int = 1000) -> DataFrame:
+    """(id_a, id_b, shared) — near-duplicate candidate pairs sharing at
+    least `min_shared` winnowing fingerprints (the standard use of
+    winnowing: SIGMOD'03 applies exactly this inverted-index join to find
+    overlapping documents).
+
+    Scale shape: self-join on the fingerprint inverted index — bounded by
+    `max_df` (fingerprints appearing in more docs are boilerplate and are
+    dropped like stopwords), so no all-pairs product exists."""
+    fps = winnow_fingerprint(docs, k=k, w=w)
+    dfreq = (fps.groupBy("fp").agg(F.count("*").alias("df"))
+             .filter(F.col("df") <= max_df))
+    kept = fps.join(dfreq.select("fp"), "fp")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    return (a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b").agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared))

@@ -208,3 +208,17 @@ def test_redact_pii_masks_and_counts(spark):
     assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
     assert got[3]["text_redacted"] == "no pii here"
     assert got[4]["n_email"] == 2 and got[4]["n_ipv4"] == 1
+
+
+def test_winnow_dup_pairs_finds_near_dups(spark):
+    from qse_spark.operators import text as T
+    base = ("we the people of the united states in order to form a more "
+            "perfect union establish justice and insure domestic tranquility")
+    edited = base.replace("justice", "fairness")
+    other = "completely different content with no overlap whatsoever here"
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited), (2, other)], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["shared"]
+             for r in T.winnow_dup_pairs(docs, min_shared=2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert not any(2 in p for p in pairs)
