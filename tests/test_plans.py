@@ -178,3 +178,18 @@ def test_no_per_row_python_in_hot_paths():
             if pat in src:
                 offenders.append((str(p), pat))
     assert not offenders, offenders
+
+
+def test_tfidf_pairs_reuse_weight_exchanges(spark):
+    """The TF-IDF weight table feeds both sides of the pair self-join
+    without an explicit cache — AQE's ReusedExchange must dedupe the
+    duplicated weighting subtree at runtime (the repo's pattern: let the
+    optimizer dedupe rather than persist-and-leak)."""
+    from qse_spark.operators.linking import tfidf_cosine_pairs
+    from qse_spark.plans import executed_plan_str
+    docs = spark.createDataFrame(
+        [(i, f"some shared words plus token{i}") for i in range(30)],
+        ["doc_id", "text"])
+    x = executed_plan_str(tfidf_cosine_pairs(
+        docs, tau=0.1, id_col="doc_id", text_col="text"))
+    assert "ReusedExchange" in x
