@@ -172,3 +172,23 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, w: int = 4,
     return (a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b").agg(F.count("*").alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+def stratified_sample(docs: DataFrame, strata_col: str = "lang",
+                      cap: int = 100, seed: int = 100) -> DataFrame:
+    """Deterministic stratified sample: up to `cap` docs per stratum,
+    ranked by md5(doc_id || '#' || seed) — the same seeded-hash ranking
+    the QSE sampling operators use (A1), so any SQL engine reproduces the
+    exact sample. The balanced-corpus primitive of a training pipeline
+    (cap a dominant language / source before mixing).
+
+    One window per stratum partition — scales with the corpus; no global
+    sort."""
+    from pyspark.sql.window import Window
+    rnk = F.row_number().over(
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.concat_ws("#", F.col("doc_id").cast("string"),
+                                   F.lit(str(seed)))), F.col("doc_id")))
+    return (docs.withColumn("rnk", rnk)
+            .filter(F.col("rnk") <= cap)
+            .select("doc_id", F.col(strata_col).alias("stratum"), "rnk"))

@@ -222,3 +222,20 @@ def test_winnow_dup_pairs_finds_near_dups(spark):
              for r in T.winnow_dup_pairs(docs, min_shared=2).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2
     assert not any(2 in p for p in pairs)
+
+
+def test_stratified_sample_caps_and_determinism(spark):
+    from qse_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(90)],
+        ["doc_id", "text", "lang"])
+    a = T.stratified_sample(docs, strata_col="lang", cap=10, seed=7)
+    b = T.stratified_sample(docs.repartition(13), strata_col="lang",
+                            cap=10, seed=7)
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))   # partition-invariant
+    per = {}
+    for _, stratum, _ in rows_a:
+        per[stratum] = per.get(stratum, 0) + 1
+    assert all(n <= 10 for n in per.values())
+    assert T.stratified_sample(docs, cap=10, seed=8).collect() != a.collect()
