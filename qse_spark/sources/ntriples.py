@@ -34,14 +34,25 @@ def write_ntriples(triples: DataFrame, path: str,
     _XSD = "http://www.w3.org/2001/XMLSchema#"
 
     def _esc(col):
-        return F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"),
-                                '"', '\\\\"')
+        # N-Triples ECHAR escapes, backslash first; literal (non-regex)
+        # replaces. \n/\r must be escaped or the line-oriented format breaks.
+        col = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+        col = F.replace(col, F.lit('"'), F.lit('\\"'))
+        col = F.replace(col, F.lit("\n"), F.lit("\\n"))
+        col = F.replace(col, F.lit("\r"), F.lit("\\r"))
+        return F.replace(col, F.lit("\t"), F.lit("\\t"))
 
-    # langString objects arrive as "word@lang" — split at the LAST '@'; a
-    # langString row with no parsable '@lang' suffix falls back to a plain
-    # string literal (never emit the malformed `"..."@` form)
-    lang_word = F.regexp_extract(F.col("object"), r"^(.*)@([A-Za-z\-]+)$", 1)
-    lang_tag = F.regexp_extract(F.col("object"), r"^(.*)@([A-Za-z\-]+)$", 2)
+    # langString objects arrive as "word@lang" — split at the LAST '@'
+    # WITHOUT regex `.` (Java `.` skips U+0085/U+2028/U+2029, silently
+    # degrading such payloads to plain strings — round-2 fuzz finding).
+    # A langString row with no parsable '@lang' suffix falls back to a
+    # plain string literal (never emit the malformed `"..."@` form).
+    _tag = F.substring_index(F.col("object"), "@", -1)
+    _has_tag = (F.col("object").contains("@")
+                & _tag.rlike(r"^[A-Za-z][A-Za-z0-9\-]*$"))
+    lang_tag = F.when(_has_tag, _tag).otherwise(F.lit(""))
+    lang_word = F.col("object").substr(
+        F.lit(1), F.length("object") - F.length(_tag) - F.lit(1))
     obj_term = (
         F.when(F.col("obj_kind") == "iri",
                F.concat(F.lit("<" + iri_prefix), F.col("object"), F.lit(">")))
@@ -68,8 +79,19 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         g[1], g[2], g[3], g[4], g[5], g[6], g[7], g[8])
     subject = F.when(s_iri != "", s_iri).otherwise(s_bn)
     is_iri_obj = (o_iri != "") | (o_bn != "")
-    # undo write-side escaping: \" -> " and \\ -> \ in one sequential pass
-    o_lit = F.regexp_replace(o_lit, r'\\(["\\])', "$1")
+    # undo write-side ECHAR escaping with a correct sequential scan:
+    # split on `\\` (escaped backslash) FIRST, so any backslash remaining
+    # inside a segment starts a genuine \"/\n/\r/\t escape; unescape those
+    # per segment, then rejoin segments with a literal '\'. (A naive
+    # replace chain would corrupt `\\n` = escaped-backslash + 'n'.)
+    def _unesc_seg(s):
+        s = F.replace(s, F.lit('\\"'), F.lit('"'))
+        s = F.replace(s, F.lit("\\n"), F.lit("\n"))
+        s = F.replace(s, F.lit("\\r"), F.lit("\r"))
+        return F.replace(s, F.lit("\\t"), F.lit("\t"))
+
+    o_lit = F.array_join(
+        F.transform(F.split(o_lit, r"\\\\"), _unesc_seg), "\\")
     obj = (F.when(o_iri != "", o_iri)
            .when(o_bn != "", o_bn)
            .when(o_lang != "", F.concat(o_lit, F.lit("@"), o_lang))

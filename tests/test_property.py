@@ -63,8 +63,10 @@ def test_winnow_twin_matches_spark(spark, texts):
 
 
 _LITERAL = st.text(
-    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF,
-                           exclude_characters="\n\r\t"),
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        # raw line terminators / tabs must survive via ECHAR escaping
+        st.sampled_from("\n\r\t")),
     min_size=0, max_size=30)
 
 
