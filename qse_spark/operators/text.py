@@ -33,23 +33,28 @@ def token_count(docs: DataFrame) -> DataFrame:
         .alias("n_tokens_bpe_est"))
 
 
-def language_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang_pred, lang_hits) — argmax of stopword hits per language;
-    deterministic tie-break by language code order. 'und' when nothing hits."""
-    toks = _tokens(F.col("text"))
-    scored = docs.select("doc_id", toks.alias("t"))
+def _lang_best(toks_col):
+    """Struct(hits, lang) of the winning language for a token-array column:
+    argmax of stopword hits, deterministic tie-break by language code
+    order (array_max on (hits, lang) structs)."""
     def _hits_for(lang):
         # N.B. a two-arg lambda would make F.filter pass (value, index);
         # build a fresh single-arg closure per language instead.
         sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-        return F.size(F.filter(F.col("t"), lambda x: F.array_contains(sw, x)))
+        return F.size(F.filter(toks_col, lambda x: F.array_contains(sw, x)))
 
     hit_cols = [F.struct(_hits_for(lang).alias("hits"),
                          F.lit(lang).alias("lang"))
                 for lang in sorted(LANG_STOPWORDS)]
-    best = F.array_max(F.array(*hit_cols))
-    return (scored
-            .withColumn("_b", best)
+    return F.array_max(F.array(*hit_cols))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — argmax of stopword hits per language;
+    deterministic tie-break by language code order. 'und' when nothing hits."""
+    toks = _tokens(F.col("text"))
+    return (docs.select("doc_id", toks.alias("t"))
+            .withColumn("_b", _lang_best(F.col("t")))
             .select("doc_id",
                     F.when(F.col("_b.hits") > 0, F.col("_b.lang"))
                     .otherwise(F.lit("und")).alias("lang_pred"),
@@ -84,6 +89,48 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     DuckDB oracle reproduces it bit-for-bit)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_tokens_bpe_est, lang_pred, lang_hits, n_chars,
+    mean_word_len, alpha_ratio, score, fp) — the full per-document text
+    profile: token counting (token_count), language ID (language_id),
+    quality scoring (quality_score) and md5 fingerprinting (fingerprint)
+    fused into ONE projection over the corpus.
+
+    At 100 TB this is a single map stage — one scan, zero shuffle — where
+    running the four operators separately would scan the corpus four
+    times. The component semantics are bit-identical to the standalone
+    operators (shared expression helpers), so either form can be used."""
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", F.col("text"), toks.alias("t"))
+    n_tok = F.size(F.col("t"))
+    n_chars = F.length(F.col("text"))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    mean_wl = F.when(n_tok > 0,
+                     F.aggregate(F.col("t"), F.lit(0),
+                                 lambda a, t: a + F.length(t)) / n_tok
+                     ).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(20.0))
+    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)) \
+        .otherwise(F.lit(0.5))
+    score = F.round(0.4 * len_score + 0.3 * alpha_ratio + 0.3 * wl_score, 6)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    best = _lang_best(F.col("t"))
+    return base.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.greatest(n_tok, F.ceil(n_chars / 4).cast("int"))
+        .alias("n_tokens_bpe_est"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+        n_chars.alias("n_chars"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("score"),
+        F.md5(norm).alias("fp"))
 
 
 def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:

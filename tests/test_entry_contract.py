@@ -45,10 +45,10 @@ def test_every_query_has_unique_columns(spark):
 def test_query_matches_oracle(spark, duck_views, name):
     # NOTE: oracle fixture paths are sf0.01-pinned (driver runs there); at
     # sf0.001 only non-fixture oracles are value-checked.
-    GOLD_PINNED = {"dedup_minhash", "dedup_simhash_pairs", "sim_lsh_ann_topk",
+    GOLD_PINNED = {"dedup_minhash", "dedup_simhash", "sim_ann_topk",
                    "sim_cosine_near_dup", "mm_decode_features",
-                   "mm_frame_sample", "sim_ivf_topk", "text_winnow_fp",
-                   "dedup_simhash_clusters", "text_winnow_dup_pairs"}
+                   "mm_frame_sample", "text_winnow_fp",
+                   "text_winnow_dup_pairs"}
     if name.startswith("kg_") or name == "src_ntriples_roundtrip" \
             or name in GOLD_PINNED:
         pytest.skip("fixture-pinned oracles target the sf0.01 fixture "
