@@ -13,7 +13,10 @@ def normalize_surface_col(col):
     lowered = F.lower(col)
     spaced = F.regexp_replace(lowered, r"[ .\-_]+", " ")
     cleaned = F.regexp_replace(spaced, r"[^a-z0-9 ]", "")
-    return F.regexp_replace(F.trim(cleaned), " ", "_")
+    # dropping punctuation can fuse separator runs ('0.:_0' -> '0  0');
+    # re-collapse so all three twins (scalar, pandas, native) agree
+    collapsed = F.regexp_replace(cleaned, " +", " ")
+    return F.regexp_replace(F.trim(collapsed), " ", "_")
 
 
 def strip_core_col(col):

@@ -1,16 +1,25 @@
 """Multimodal columns — image/audio/video as opaque binary + typed metadata.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_image` raises NotImplementedError unless `fake=True`, in which case
-a deterministic fake decoder (hash-derived dimensions, CRC checksum) runs so
-the Spark-side plumbing — binary schema, Arrow batch shape, mapInPandas UDF
-signature, partitioning — is real and tested end-to-end.
+Two decode paths, both Arrow-batched through `mapInPandas`:
 
-Real deployment: replace `_fake_decode` with PIL/torchaudio/ffmpeg calls;
-nothing else changes."""
+- REAL header decode (`decode_media(..., fake=False)`): dependency-free
+  `struct`-level parsing of the two most common container headers — PNG
+  IHDR (width/height, PNG spec §11.2.2) and RIFF/WAVE fmt+data chunks
+  (channels/sample rate/sample count) — pure public file-format knowledge,
+  no codec libraries needed.
+- FAKE decode (`fake=True`): a deterministic CRC-derived stand-in for
+  payloads whose formats need a real codec library (JPEG entropy scan,
+  video containers). The Spark-side plumbing — binary schema, Arrow batch
+  shape, UDF signature, partitioning — is identical in both paths, so
+  swapping in PIL/torchaudio/ffmpeg changes nothing structurally.
+
+Reference parity note: QSE has no media path; this family implements the
+training-data-pipeline surface (task brief) with the same oracle rigor as
+the rest of the repo (goldgen.gold_mm_*)."""
 
 from __future__ import annotations
 
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -30,12 +39,50 @@ MEDIA_SCHEMA = StructType([
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
+    StructField("format", StringType()),        # png | wav | fake
     StructField("n_bytes", IntegerType()),
     StructField("crc32", LongType()),
-    StructField("width", IntegerType()),
-    StructField("height", IntegerType()),
-    StructField("n_frames", IntegerType()),
+    StructField("width", IntegerType()),        # png only
+    StructField("height", IntegerType()),       # png only
+    StructField("channels", IntegerType()),     # wav only
+    StructField("sample_rate", IntegerType()),  # wav only
+    StructField("n_frames", IntegerType()),     # wav: sample frames
 ])
+
+_COLS = [f.name for f in FEATURE_SCHEMA.fields]
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(p: bytes):
+    """(width, height) from the IHDR chunk, or None if not a PNG. The
+    IHDR is mandatory-first (PNG spec §5.6), so width/height live at
+    fixed offsets 16/20 as big-endian u32."""
+    if len(p) >= 24 and p[:8] == _PNG_SIG and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        return w, h
+    return None
+
+
+def _parse_wav(p: bytes):
+    """(channels, sample_rate, n_sample_frames) from a RIFF/WAVE header,
+    or None. Walks the chunk list (id:4 + size:4 LE + payload, word-
+    aligned) for `fmt ` and `data` — sizes come from the header, the
+    sample data itself is never touched."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, ch, sr, align, data_size = 12, None, None, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        (size,) = struct.unpack("<I", p[pos + 4:pos + 8])
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= len(p):
+            _, ch, sr, _, align, _ = struct.unpack(
+                "<HHIIHH", p[pos + 8:pos + 24])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if ch is None or data_size is None or not align:
+        return None
+    return ch, sr, data_size // align
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -45,27 +92,90 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return 32 + c % 1024, 32 + (c >> 10) % 1024, 1 + (c >> 20) % 64
 
 
-def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Binary payload -> typed feature row, Arrow-batched. Raises
-    NotImplementedError without fake=True (no codecs in this image)."""
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires PIL/ffmpeg (not in this container); "
-            "pass fake=True for the deterministic stub")
+def decode_media(media: DataFrame, fake: bool = False,
+                 strict: bool = True) -> DataFrame:
+    """Binary payload -> typed feature row, Arrow-batched.
+
+    fake=False (the real path) header-parses PNG and WAV payloads with
+    zero dependencies; an unrecognized format raises (strict=True) or
+    falls back to the CRC fake tagged format='fake' (strict=False), so a
+    fallback is always visible in the output, never silent. fake=True
+    forces the CRC fake for every row (fixture/smoke path)."""
+
+    def _row(mid, kind, payload):
+        p = bytes(payload or b"")
+        base = {"media_id": int(mid), "kind": kind, "n_bytes": len(p),
+                "crc32": zlib.crc32(p), "width": None, "height": None,
+                "channels": None, "sample_rate": None, "n_frames": None}
+        if not fake:
+            png = _parse_png(p)
+            if png is not None:
+                return {**base, "format": "png", "width": png[0],
+                        "height": png[1], "n_frames": 1}
+            wav = _parse_wav(p)
+            if wav is not None:
+                return {**base, "format": "wav", "channels": wav[0],
+                        "sample_rate": wav[1], "n_frames": wav[2]}
+            if strict:
+                raise ValueError(
+                    f"media_id={mid}: payload is neither PNG nor WAV; "
+                    "real decode of this format needs a codec library "
+                    "(pass strict=False for the CRC fake fallback)")
+        w, h, nf = _fake_decode(p)
+        return {**base, "format": "fake", "width": w, "height": h,
+                "n_frames": nf if kind == "video" else 1}
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
-                                          pdf["payload"]):
-                p = bytes(payload or b"")
-                w, h, nf = _fake_decode(p)
-                rows.append((int(mid), kind, len(p), zlib.crc32(p), w, h,
-                             nf if kind == "video" else 1))
-            yield pd.DataFrame(rows, columns=[f.name for f in
-                                              FEATURE_SCHEMA.fields])
+            rows = [_row(m, k, p) for m, k, p in
+                    zip(pdf["media_id"], pdf["kind"], pdf["payload"])]
+            out = pd.DataFrame(rows, columns=_COLS)
+            for c in ("width", "height", "channels", "sample_rate",
+                      "n_frames", "n_bytes"):
+                out[c] = out[c].astype("Int32")
+            yield out
 
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+def synth_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic tiny PNG/WAV payload per id (even ids -> PNG, odd ->
+    WAV) for exercising the real decode path without codec libraries.
+    Geometry/audio parameters are pure functions of the id, so an
+    independent oracle can predict every decoded feature without parsing
+    (goldgen.gold_mm_real). Fixture generator — the pandas UDF here is
+    synthesis, not a hot-path operator."""
+
+    def _payload(i: int) -> bytes:
+        if i % 2 == 0:
+            w, h = 16 + i % 512, 16 + (i * 7) % 512
+            ihdr = struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+            return (_PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr
+                    + b"\x00" * 4                       # CRC not validated
+                    + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4)
+        ch = 1 + i % 2
+        sr = 8000 + (i % 5) * 1000
+        nsamp = 100 + i % 400
+        align = ch * 2
+        fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * align, align, 16)
+        data = b"\x00" * (nsamp * align)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = [int(m) for m in pdf[id_col]]
+            yield pd.DataFrame({
+                "media_id": mids,
+                "kind": ["image" if m % 2 == 0 else "audio" for m in mids],
+                "payload": [_payload(m) for m in mids],
+                "mime": ["image/png" if m % 2 == 0 else "audio/wav"
+                         for m in mids],
+            })
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)) \
+              .mapInPandas(_batches, MEDIA_SCHEMA)
 
 
 def frame_sample(features: DataFrame, every_n: int = 8) -> DataFrame:

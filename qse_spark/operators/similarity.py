@@ -101,14 +101,36 @@ def lsh_ann_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def dropped_bucket_report(emb: DataFrame, dim: int = 64, n_planes: int = 8,
+                          seed: int = 7, max_block: int = 2000,
+                          id_col: str = "vec_id") -> DataFrame:
+    """(bucket, n) for LSH buckets the `max_block` cap removes from
+    cosine_near_dup_pairs — dropped blocks must be observable, never
+    silent (same contract as dedup.dropped_shingle_report /
+    linking.blocking_report)."""
+    e = lsh_signature(with_unit_norm(emb), dim, n_planes, seed)
+    return (e.groupBy("bucket").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_block))
+
+
 def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.95, dim: int = 64,
                           n_planes: int = 8, seed: int = 7,
+                          max_block: int = 2000,
                           id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau)
-    via LSH self-join — the embedding twin of dedup.minhash_dedup."""
+    via LSH self-join — the embedding twin of dedup.minhash_dedup.
+
+    Scale shape: with 2^n_planes buckets, bucket population grows linearly
+    with the corpus and the self-join is quadratic per bucket, so buckets
+    larger than `max_block` are dropped (inspect the drops with
+    dropped_bucket_report — the same cap contract as minhash_dedup's
+    banded blocks). Grow n_planes ~log2(N/max_block) with the corpus so
+    typical buckets stay under the cap instead of being dropped."""
     e = lsh_signature(with_unit_norm(emb), dim, n_planes, seed)
     e = e.select(F.col(id_col).alias("id"), F.col("_unit").alias("v"),
                  "bucket")
+    cnt = e.groupBy("bucket").agg(F.count("*").alias("bn"))
+    e = e.join(cnt, "bucket").filter(F.col("bn") <= max_block).drop("bn")
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     return (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -119,7 +141,7 @@ def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.95, dim: int = 64,
 
 # ----------------------------------------------------------------- IVF ANN
 
-def ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 7,
+def ivf_centroids(emb: DataFrame, n_centroids: int | None = 16, seed: int = 7,
                   id_col: str = "vec_id", col: str = "embedding") -> np.ndarray:
     """Deterministic coarse quantizer: the `n_centroids` corpus vectors
     whose `xxhash64(seed, vec_id)` is smallest, unit-normalized (a seeded
@@ -128,7 +150,13 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 7,
     ship). The selection is a `TakeOrderedAndProject` (per-partition
     top-n, merged on the driver), NOT a global sort — one corpus scan,
     no shuffle, and the only driver-side collect in the operator is the
-    n_centroids rows every IVF index collects by design."""
+    n_centroids rows every IVF index collects by design.
+
+    n_centroids=None auto-scales to ceil(sqrt(N)) — the standard IVF
+    sizing, so the probed fraction (nprobe/n_centroids) SHRINKS as the
+    corpus grows instead of staying constant. Costs one corpus count."""
+    if n_centroids is None:
+        n_centroids = max(1, int(np.ceil(np.sqrt(emb.count()))))
     picked = (emb.select(F.col(id_col).alias("cid"),
                          F.col(col).cast("array<double>").alias("cv"))
               .orderBy(F.xxhash64(F.lit(int(seed)).cast("long"),
@@ -167,7 +195,7 @@ def _ivf_cells_udf(cent_unit: np.ndarray, probe: int):
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4, seed: int = 7,
+             n_centroids: int | None = None, nprobe: int = 4, seed: int = 7,
              id_col: str = "vec_id", col: str = "embedding") -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize the corpus into `n_centroids`
     cells (one cell per vector, assigned map-side by a closure-broadcast
@@ -178,7 +206,10 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     single mapInArrow-style projection, the only shuffle is the candidate
     equi-join on `cell` (bounded by nprobe/n_centroids of the corpus per
     query), and the query side is broadcast. Recall vs brute force is
-    asserted in tests/test_training_ops.py."""
+    asserted in tests/test_training_ops.py.
+
+    n_centroids defaults to None = auto-scale to ceil(sqrt(N)) (see
+    ivf_centroids); pass an explicit value to pin the cell count."""
     cent = ivf_centroids(emb, n_centroids, seed, id_col, col)
     assign = _ivf_cells_udf(cent, 1)
     probe = _ivf_cells_udf(cent, nprobe)

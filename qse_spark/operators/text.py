@@ -141,31 +141,28 @@ def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     distinct. Robust to local edits where the whole-document md5
     fingerprint() is not.
 
-    All native expressions: posexplode(sequence) enumerates gram positions,
-    `min().over(partitionBy(doc_id).orderBy(pos).rowsBetween(0, w-1))`
-    is the sliding-window minimum — partitioned by document, so the
-    window never crosses executors and the operator scales with the
-    corpus. Docs shorter than k chars contribute their single short gram;
-    windows that would run past the last gram are dropped (`pos <=
-    n_grams - w`, floored at 0 so short docs keep window 0)."""
-    from pyspark.sql.window import Window
+    All native expressions, fully per-row (ZERO shuffle — the round-2
+    posexplode + partitionBy(doc_id) window formulation moved one row per
+    CHARACTER through an exchange to sort grams that were already adjacent
+    in the row): `transform(sequence)` builds the gram-hash array in
+    place, a second `transform` takes `array_min(slice(...))` per sliding
+    window, `array_distinct` dedupes per document (which IS the distinct
+    (doc_id, fp) contract), and a single explode emits the fingerprint
+    set. Transient memory is ~8 bytes per character for the per-row hash
+    array — far cheaper than shuffling the same volume. Docs shorter than
+    k chars contribute their single short gram; windows that would run
+    past the last gram are dropped (window starts 0..greatest(n_grams-w,
+    0), so short docs keep window 0)."""
     txt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    base = docs.select("doc_id", txt.alias("t"),
-                       F.length(txt).alias("n"))
-    grams = (base.select(
-        "doc_id", "n", "t",
-        F.posexplode(F.sequence(F.lit(0),
-                                F.greatest(F.col("n") - k, F.lit(0))))
-        .alias("p", "_i"))
-        .select("doc_id", "n", "p",
-                F.xxhash64(F.substring(F.col("t"), F.col("p") + 1, k))
-                .alias("h")))
-    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
-    n_grams = F.greatest(F.col("n") - k, F.lit(0)) + 1
-    return (grams
-            .withColumn("fp", F.min("h").over(win))
-            .filter(F.col("p") <= F.greatest(n_grams - w, F.lit(0)))
-            .select("doc_id", "fp").distinct())
+    base = docs.select("doc_id", txt.alias("t"))
+    hs = (f"transform(sequence(0, greatest(length(t) - {k}, 0)), "
+          f"i -> xxhash64(substring(t, i + 1, {k})))")
+    fps = (f"array_distinct(transform("
+           f"sequence(0, greatest(size(hs) - {w}, 0)), "
+           f"p -> array_min(slice(hs, p + 1, {w}))))")
+    return (base.withColumn("hs", F.expr(hs))
+            .withColumn("fp_set", F.expr(fps))
+            .select("doc_id", F.explode("fp_set").alias("fp")))
 
 
 # PII patterns — conservative ASCII classes that parse identically in Java

@@ -33,7 +33,9 @@ def _emit_first_seen(key: Tuple[Any, ...],
     seen = set(state.get[0]) if state.exists else set()
     new: list[str] = []
     for pdf in pdfs:
-        for cls in pdf["class"]:
+        # drop null classes: None in the state array breaks sorted() below
+        # and a null type assertion is meaningless to the dictionary
+        for cls in pdf["class"].dropna():
             if cls not in seen:
                 seen.add(cls)
                 new.append(cls)

@@ -28,10 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .constants import TYPE_PREDICATE
-from .shapes import node_shapes, property_shapes
-from .stats import (entity_types_df, prune, shape_stats,
-                    tagged_constraint_rows)
+from .constants import TYPE_PREDICATE, UNDEFINED_OBJECT_TYPE
+from .shapes import negative_shapes, node_shapes, property_shapes
+from .stats import (_literal_type_expr, entity_types_df, prune,
+                    prune_negative, shape_stats, tagged_constraint_rows)
 
 
 def validation_report(triples: DataFrame, confidence: float, support: int,
@@ -123,3 +123,119 @@ def validation_report(triples: DataFrame, confidence: float, support: int,
                       F.lit(None).cast("long").alias("cnt")))
 
     return v_min.unionByName(v_max).unionByName(v_type)
+
+
+def sh_not_report(triples: DataFrame, confidence: float, support: int,
+                  type_predicate: str = TYPE_PREDICATE,
+                  stats: DataFrame | None = None) -> DataFrame:
+    """sh:not violation analysis — the NotConstraintComponent half of the
+    reference's validator (`QseSHACLValidator.java:103-121` writes these
+    to a separate `_NotConstraints.csv` with per-class support/confidence
+    looked up from the shapes graph, `buildQuery` /
+    `buildQueryForMultipleClassTypesPs`).
+
+    SHACL semantics: a focus node VIOLATES `sh:not NS_neg` exactly when it
+    CONFORMS to the negated node shape — here the `_PS_NotShape` wrapper
+    around the pruned-away property shape (shapes.negative_shapes). The
+    wrapper's single property shape conforms for focus f iff
+      - min_count 1  -> f uses the path at least once
+      - max_count 1  -> f has at most 1 distinct value on the path
+      - every observed (path, objType) of f is in the negated branch set
+        (vacuously true when f never uses the path).
+    One output row per (focus, class, path, negated objType branch) with
+    that branch's support/confidence — mirroring the reference CSV, which
+    emits one line per sh:or branch for multi-class negated shapes.
+
+    Relational plan: focus x negated-paths is a vocabulary-sized broadcast
+    join fanout (|neg shapes per class| is small by construction — they
+    failed the support threshold); cardinality/observed reuse the same
+    corpus aggregates as validation_report.
+    """
+    etypes = entity_types_df(triples, type_predicate)
+    if stats is None:
+        stats = shape_stats(triples, type_predicate)
+
+    neg_rows = prune_negative(stats, confidence, support)
+    neg_ps = negative_shapes(stats, confidence, support, type_predicate)
+
+    # focus nodes of classes that (a) keep a surviving node shape to hang
+    # sh:not off (same gate as pruned_shapes) and (b) have >=1 neg shape
+    ns_gate = (F.col("class_count") >= support) if support == 1 \
+        else (F.col("class_count") > support)
+    ns = node_shapes(stats).filter(ns_gate)
+    neg_classes = (neg_ps.select(F.col("target_class"))
+                   .join(ns.select("target_class"), "target_class",
+                         "left_semi").distinct())
+    focus = etypes.join(
+        F.broadcast(neg_classes.select(F.col("target_class").alias("class"))),
+        "class", "left_semi")
+
+    shapes = F.broadcast(neg_ps.select(
+        F.col("target_class").alias("class"), F.col("path").alias("property"),
+        "min_count", "max_count", "not_shape"))
+    neg_paths = neg_ps.select(F.col("path").alias("predicate")).distinct()
+    cardinality = (triples
+                   .join(F.broadcast(neg_paths), "predicate", "left_semi")
+                   .groupBy(F.col("subject").alias("entity"),
+                            F.col("predicate").alias("property"))
+                   .agg(F.countDistinct("object").alias("cnt")))
+
+    # every focus x negated path of its class (n = 0 when the path is
+    # unused — the vacuous-conformance case)
+    fp = (focus.join(shapes, "class")
+          .join(cardinality, ["entity", "property"], "left")
+          .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+
+    # all-values condition, per VALUE NODE (SHACL sh:or is existential per
+    # value: an object entity with classes {A, B} conforms to sh:or(class
+    # B, ...) through ANY matching class; a literal through its datatype;
+    # any IRI through a negated nodeKind-IRI (undefined-sentinel) branch)
+    allowed = F.broadcast(neg_rows.select("class", "property", "obj_type"))
+    undef_branch = F.broadcast(
+        neg_rows.filter(F.col("obj_type") == UNDEFINED_OBJECT_TYPE)
+        .select("class", "property").distinct()
+        .withColumn("_undef_ok", F.lit(1)))
+    vals = (triples.join(F.broadcast(neg_paths), "predicate", "left_semi")
+            .join(focus.select(F.col("entity").alias("subject"), "class"),
+                  "subject")
+            .select(F.col("subject").alias("entity"), "class",
+                    F.col("predicate").alias("property"), "object",
+                    "obj_kind"))
+    lit_vals = (vals.filter(F.col("obj_kind") != "iri")
+                .withColumn("obj_type", _literal_type_expr())
+                .join(allowed.withColumn("_hit", F.lit(1)),
+                      ["class", "property", "obj_type"], "left")
+                .withColumn("_ok", F.col("_hit").isNotNull())
+                .select("entity", "class", "property", "object", "_ok"))
+    obj_classes = etypes.select(F.col("entity").alias("object"),
+                                F.col("class").alias("obj_type"))
+    iri_vals = (vals.filter(F.col("obj_kind") == "iri")
+                .join(obj_classes, "object", "left")
+                .join(allowed.withColumn("_hit", F.lit(1)),
+                      ["class", "property", "obj_type"], "left")
+                .join(undef_branch, ["class", "property"], "left")
+                .groupBy("entity", "class", "property", "object")
+                .agg(((F.max(F.col("_hit").isNotNull().cast("int")) == 1)
+                      | (F.max(F.col("_undef_ok")).isNotNull()))
+                     .alias("_ok")))
+    bad = (lit_vals.unionByName(iri_vals)
+           .groupBy("entity", "class", "property")
+           .agg(F.min(F.col("_ok").cast("int")).alias("_all_ok"))
+           .filter(F.col("_all_ok") == 0)
+           .select("entity", "class", "property")
+           .withColumn("_bad", F.lit(1)))
+
+    conforms = (fp.join(bad, ["entity", "class", "property"], "left")
+                .filter(F.col("_bad").isNull())
+                .filter((F.col("min_count").isNull()) | (F.col("cnt") >= 1))
+                .filter((F.col("max_count").isNull()) | (F.col("cnt") <= 1)))
+
+    # one row per negated objType branch, reference-CSV style
+    branches = neg_rows.select("class", "property", "obj_type",
+                               "support", "confidence")
+    return (conforms
+            .join(F.broadcast(branches), ["class", "property"])
+            .select(F.col("entity").alias("focus"),
+                    F.col("class").alias("target_class"),
+                    "property", "not_shape", "obj_type",
+                    "support", F.round("confidence", 6).alias("confidence")))

@@ -58,3 +58,28 @@ def test_query_matches_oracle(spark, duck_views, name):
     ok, msg = compare(name, fn(spark, SF), entry.oracle_sql().get(name),
                       duck_views)
     assert ok, msg
+
+
+def test_tfidf_oracle_float_margins(spark):
+    """The sim_tfidf_pairs oracle compares ROUND(cosine, 6) across two
+    engines whose SUMs accumulate in different orders (~1e-15 absolute
+    discrepancy). That is only sound if no pair's cosine sits on a
+    knife-edge: near the tau=0.9 filter or near a 6th-decimal rounding
+    midpoint. Measure both margins at sf0.01 (the driver's sf) so a
+    regenerated fixture that lands on a boundary fails loudly here
+    instead of flaking the driver row. Measured at round 3: min
+    |cosine - 0.9| ≈ 6.8e-4, min midpoint distance ≈ 2.7e-3 µ-units
+    (i.e. ≥ 2.7e-9 in cosine units — ~1e6× the cross-engine error)."""
+    from qse_spark.operators.linking import tfidf_cosine_pairs
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = (tfidf_cosine_pairs(docs, tau=0.5, id_col="doc_id",
+                               text_col="text")
+            .select("cosine").collect())
+    cosines = [r["cosine"] for r in rows]
+    assert cosines, "fixture lost its near-dup pairs"
+    tau_margin = min(abs(c - 0.9) for c in cosines)
+    assert tau_margin > 1e-6, f"pair within {tau_margin} of tau=0.9"
+    kept = [c for c in cosines if c >= 0.9 and c < 1.0]
+    micro_margin = min(abs((c * 1e6) % 1.0 - 0.5) for c in kept)
+    assert micro_margin > 1e-4, \
+        f"cosine within {micro_margin} µ-units of a rounding midpoint"

@@ -32,6 +32,23 @@ def test_norm_vectorized_matches_scalar(texts):
     assert got == exp
 
 
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=60))
+@_SPARK_SETTINGS
+@example(texts=["0.:_0"])   # dropped char fusing two separator runs
+def test_norm_column_twin_matches_scalar(spark, texts):
+    """The native column twin (functions.columns.normalize_surface_col)
+    agrees with the scalar textnorm.normalize_surface on printable ASCII
+    (one batched job per example list)."""
+    from qse_spark.functions.columns import normalize_surface_col
+    from qse_spark.textnorm import normalize_surface
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "s"])
+    got = [r["n"] for r in
+           df.select("i", normalize_surface_col(F.col("s")).alias("n"))
+           .orderBy("i").collect()]
+    assert got == [normalize_surface(t) for t in texts]
+
+
 @given(st.lists(st.text(max_size=40), min_size=1, max_size=100))
 @_SPARK_SETTINGS
 def test_xxh64_twin_matches_spark_on_arbitrary_strings(spark, texts):

@@ -119,13 +119,47 @@ def test_cosine_near_dup_pairs_clustered(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs
 
 
+def test_cosine_near_dup_max_block_caps_and_reports(spark):
+    """An over-dense LSH bucket must be dropped from the pair join (no
+    O(N^2) blow-up) AND surfaced by dropped_bucket_report — never a
+    silent truncation."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    # 6 near-identical vectors -> one bucket of 6 (> max_block=5)
+    dense = [(i, [float(x) for x in base + 1e-3 * rng.standard_normal(16)])
+             for i in range(6)]
+    # plus an isolated near-dup pair in (almost surely) another bucket
+    other = -base
+    sparse = [(10, [float(x) for x in other]),
+              (11, [float(x) for x in other + 1e-3 *
+                    rng.standard_normal(16)])]
+    emb = spark.createDataFrame(dense + sparse, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_near_dup_pairs(
+                 emb, tau=0.95, dim=16, n_planes=2, max_block=5).collect()}
+    assert (10, 11) in pairs
+    assert not any(a < 6 and b < 6 for a, b in pairs)
+    report = similarity.dropped_bucket_report(
+        emb, dim=16, n_planes=2, max_block=5).collect()
+    assert len(report) == 1 and report[0]["n"] == 6
+    # uncapped, the dense bucket's pairs come back
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                similarity.cosine_near_dup_pairs(
+                    emb, tau=0.95, dim=16, n_planes=2).collect()}
+    assert any(a < 6 and b < 6 for a, b in uncapped)
+
+
 def test_multimodal_stub_plumbing(spark):
     rows = [(1, "image", bytearray(b"\x89PNGfake"), "image/png"),
             (2, "video", bytearray(b"RIFFfake" * 10), "video/avi"),
             (3, "audio", bytearray(b""), "audio/wav")]
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
-    with pytest.raises(NotImplementedError):
+    # real+strict decode of junk payloads fails loudly (in the executor)
+    with pytest.raises(Exception, match="neither PNG nor WAV"):
         multimodal.decode_media(media).collect()
+    # strict=False falls back to the visible 'fake' format tag
+    fallback = multimodal.decode_media(media, strict=False).collect()
+    assert all(r["format"] == "fake" for r in fallback)
     feats = multimodal.decode_media(media, fake=True)
     got = {r["media_id"]: r for r in feats.collect()}
     assert got[1]["n_bytes"] == 8 and got[1]["n_frames"] == 1
@@ -136,6 +170,43 @@ def test_multimodal_stub_plumbing(spark):
     assert got == again
     frames = multimodal.frame_sample(feats, every_n=4).collect()
     assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
+
+def test_multimodal_real_header_decode(spark):
+    """synth -> decode roundtrip: struct-level PNG IHDR and WAV fmt/data
+    parsing recovers exactly the parameters the synth formula encoded."""
+    ids = spark.range(0, 20).select(F.col("id").alias("media_id"))
+    media = multimodal.synth_media(ids)
+    got = {r["media_id"]: r for r in
+           multimodal.decode_media(media, fake=False).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        r = got[i]
+        if i % 2 == 0:
+            assert r["format"] == "png" and r["kind"] == "image"
+            assert r["width"] == 16 + i % 512
+            assert r["height"] == 16 + (i * 7) % 512
+            assert r["channels"] is None and r["sample_rate"] is None
+            assert r["n_frames"] == 1
+        else:
+            assert r["format"] == "wav" and r["kind"] == "audio"
+            assert r["channels"] == 1 + i % 2
+            assert r["sample_rate"] == 8000 + (i % 5) * 1000
+            assert r["n_frames"] == 100 + i % 400
+            assert r["width"] is None and r["height"] is None
+
+
+def test_multimodal_real_decode_matches_gold(spark):
+    """Spark parse-side features == formula-side gold twin (byte counts
+    and CRCs come from an independent re-synthesis in goldgen)."""
+    from qse_spark.goldgen import gold_mm_real
+    ids = spark.range(0, 30).select(F.col("id").alias("media_id"))
+    got = (multimodal.decode_media(multimodal.synth_media(ids), fake=False)
+           .orderBy("media_id").collect())
+    gold = gold_mm_real(list(range(30))).to_pylist()
+    assert len(got) == len(gold) == 30
+    for g, x in zip(got, gold):
+        assert g.asDict() == x, g["media_id"]
 
 
 def test_ivf_recall_on_clustered_data(spark):
@@ -156,6 +227,16 @@ def test_ivf_recall_on_clustered_data(spark):
                                   nprobe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8
+
+
+def test_ivf_centroids_autoscale(spark):
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)])
+         for i in range(100)],
+        ["vec_id", "embedding"])
+    # None -> ceil(sqrt(100)) = 10 centroids
+    assert similarity.ivf_centroids(emb, None).shape == (10, 8)
 
 
 def test_winnow_local_edit_robustness(spark):

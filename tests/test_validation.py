@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from qse_spark.validation import validation_report
+from qse_spark.validation import sh_not_report, validation_report
 
 # Fixture: class A has 3 instances. Property q: e1 has it twice (violates
 # the maxCount=1 the ∃-semantics derives from e2's single use), e3 lacks it
@@ -55,6 +55,30 @@ def test_no_violations_against_default_shapes(spark):
     kinds = {r["violation"] for r in rep.collect()}
     assert "minCount" not in kinds
     assert "valueType" not in kinds
+
+
+def test_sh_not_conformance_is_the_violation(spark):
+    """sh:not flags focus nodes CONFORMING to the negated shape: e3's
+    value matches the negated xsd:integer branch, e4 conforms vacuously
+    (no values on the path, no minCount in the negated shape); e1/e2
+    have a class-C value outside the negated branch set, so they do NOT
+    conform and are NOT flagged."""
+    triples = [
+        ("e1", "rdf:type", "A", "iri"), ("e2", "rdf:type", "A", "iri"),
+        ("e3", "rdf:type", "A", "iri"), ("e4", "rdf:type", "A", "iri"),
+        ("o1", "rdf:type", "C", "iri"),
+        ("e1", "p", "o1", "iri"), ("e2", "p", "o1", "iri"),
+        ("e3", "p", "7", "integer"),
+    ]
+    t = spark.createDataFrame(triples, ["subject", "predicate", "object",
+                                        "obj_kind"])
+    # (A, p, xsd:integer): support 1 < 2, confidence 0.25 <= 0.5 -> negated;
+    # (A, p, C): support 2 -> stays positive
+    rows = sh_not_report(t, 0.5, 2).collect()
+    assert {(r["focus"], r["target_class"], r["property"], r["obj_type"])
+            for r in rows} == {("e3", "A", "p", "xsd:integer"),
+                               ("e4", "A", "p", "xsd:integer")}
+    assert all(r["not_shape"].endswith("pA_PS_NotShape") for r in rows)
 
 
 def test_pruned_class_not_validated(spark):
