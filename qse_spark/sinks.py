@@ -1,0 +1,136 @@
+"""S17 CSV/PSV sinks — the reference's tabular side outputs.
+
+Twins of the reference writers (file:line provenance):
+  write_class_frequency     Utility.writeClassFrequencyInFile
+                            (`cs/qse/common/Utility.java:156-169`):
+                            `classFrequency.csv` with header Class,Frequency
+  write_shape_support_psv   Utility.writeSupportToFile
+                            (`Utility.java:92-113`): the `|`-separated
+                            shape-props-stats file
+                            class|property|objType|support|classEntityCount
+  write_shape_metrics_csv   ShapesExtractor's experiments log
+                            (`ShapesExtractor.java:94-103,188-193`):
+                            DATASET,Confidence,Support,<stat columns> with
+                            one appended row per (confidence, support) grid
+                            point ("> C%, > S" cell format preserved)
+  append_runtime_log        Utils.logTime (`cs/utils/Utils.java:66-74`):
+                            Dataset,Method,Second,Minute,SecondTotal,
+                            MinuteTotal,MaxCard,DatasetPath, appended
+  append_sampling_log       Utils.logSamplingStats (`Utils.java:84-95`)
+
+Scale note: every input here is a VOCABULARY-sized aggregate (class
+counts, the stats table, a one-row metrics grid) — the reference likewise
+holds them in driver-side hash maps before writing. A single local file
+via toPandas is therefore the faithful and safe default; pass
+`distributed=True` to the PSV writer to emit a partitioned Spark CSV
+directory instead when the stats table is too large for one file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ensure_dir(path: str) -> None:
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+
+
+def write_class_frequency(class_counts: DataFrame, path: str) -> str:
+    """`classFrequency.csv`: header `Class,Frequency`, one row per class,
+    sorted by class for determinism (the reference iterates hash-map
+    order). Input: class_counts_df output (class, class_count)."""
+    _ensure_dir(path)
+    pdf = (class_counts
+           .select(F.col("class").alias("Class"),
+                   F.col("class_count").alias("Frequency"))
+           .orderBy("Class").toPandas())
+    pdf.to_csv(path, index=False)
+    return path
+
+
+def write_shape_support_psv(stats: DataFrame, path: str,
+                            distributed: bool = False) -> str:
+    """The `|`-separated shape-props-stats file: one line per
+    (class, property, objType) with its support and the class entity
+    count (the reference's `sampledEntitiesPerClass.get(...).size()` —
+    its full-corpus run passes the complete entity list, so class_count
+    is the faithful column; the approximate pipeline passes a stats table
+    whose class_count already is the sampled size)."""
+    cols = [F.col("class"), F.col("property"), F.col("obj_type"),
+            F.col("support").cast("long"),
+            F.col("class_count").cast("long")]
+    if distributed:
+        (stats.select(*cols)
+         .write.mode("overwrite").option("sep", "|").csv(path))
+        return path
+    _ensure_dir(path)
+    pdf = (stats.select(*[c.alias(n) for c, n in
+                          zip(cols, ["class", "property", "obj_type",
+                                     "support", "class_count"])])
+           .orderBy("class", "property", "obj_type").toPandas())
+    pdf.to_csv(path, sep="|", index=False, header=False)
+    return path
+
+
+_METRIC_COLS = ["node_shapes", "property_shapes", "class_constraints",
+                "literal_constraints", "undefined_constraints",
+                "min_count_constraints", "max_count_constraints",
+                "sh_or_shapes", "avg_ps_per_ns", "min_ps_per_ns",
+                "max_ps_per_ns"]
+
+
+def write_shape_metrics_csv(metrics: DataFrame, path: str, dataset: str,
+                            confidence: float | None = None,
+                            support: int | None = None) -> str:
+    """Append one `<dataset>.csv` experiments row from a shape_metrics_df
+    (S15) one-row grid. confidence/support None = the QSE-Default model
+    (logged as `> 1.0%, > 1.0` like `ShapesExtractor.java:95`); the
+    header line is written once, on first append."""
+    _ensure_dir(path)
+    row = metrics.limit(1).toPandas().iloc[0]
+    if confidence is None:
+        cell_c, cell_s = " > 1.0%", " > 1.0"
+    else:
+        cell_c, cell_s = f" > {confidence * 100}%", f" > {support}"
+    vals = ",".join(str(row[c]) for c in _METRIC_COLS)
+    line = f"{dataset},{cell_c},{cell_s},{vals}"
+    header = "DATASET,Confidence,Support," + ",".join(
+        c.upper() for c in _METRIC_COLS)
+    write_header = not os.path.exists(path)
+    with open(path, "a") as f:
+        if write_header:
+            f.write(header + "\n")
+        f.write(line + "\n")
+    return path
+
+
+def append_runtime_log(path: str, dataset: str, method: str, seconds: int,
+                       seconds_total: int, max_card: bool,
+                       dataset_path: str) -> str:
+    """One `<dataset>_RUNTIME_LOGS.csv` line:
+    Dataset,Method,Second,Minute,SecondTotal,MinuteTotal,MaxCard,
+    DatasetPath (minutes derived from seconds like TimeUnit.toMinutes)."""
+    _ensure_dir(path)
+    line = (f"{dataset},{method},{seconds},{seconds // 60},"
+            f"{seconds_total},{seconds_total // 60},{max_card},"
+            f"{dataset_path}")
+    with open(path, "a") as f:
+        f.write(line + "\n")
+    return path
+
+
+def append_sampling_log(path: str, sampling_type: str, percentage: int,
+                        min_threshold: int, max_threshold: int,
+                        container_size: int) -> str:
+    """One `<dataset>_SAMPLING_LOGS.csv` line:
+    samplingType,percentage,minThreshold,maxThreshold,containerSize."""
+    _ensure_dir(path)
+    with open(path, "a") as f:
+        f.write(f"{sampling_type},{percentage},{min_threshold},"
+                f"{max_threshold},{container_size}\n")
+    return path

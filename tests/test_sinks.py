@@ -1,0 +1,74 @@
+"""S17 CSV/PSV sinks — roundtrip checks against the reference formats
+(Utility.writeClassFrequencyInFile / writeSupportToFile, Utils.logTime)."""
+
+from __future__ import annotations
+
+import csv
+
+from qse_spark import sinks
+from qse_spark.stats import class_counts_df, entity_types_df, shape_stats
+
+TRIPLES = [
+    ("e1", "rdf:type", "A", "iri"),
+    ("e2", "rdf:type", "A", "iri"),
+    ("e3", "rdf:type", "B", "iri"),
+    ("e1", "p", "x", "string"),
+    ("e2", "p", "y", "string"),
+    ("e3", "p", "7", "integer"),
+]
+
+
+def _triples(spark):
+    return spark.createDataFrame(
+        TRIPLES, ["subject", "predicate", "object", "obj_kind"])
+
+
+def test_class_frequency_csv(spark, tmp_path):
+    cc = class_counts_df(entity_types_df(_triples(spark)))
+    p = sinks.write_class_frequency(cc, str(tmp_path / "classFrequency.csv"))
+    with open(p) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["Class", "Frequency"]
+    assert rows[1:] == [["A", "2"], ["B", "1"]]
+
+
+def test_shape_support_psv_roundtrip(spark, tmp_path):
+    st = shape_stats(_triples(spark))
+    p = sinks.write_shape_support_psv(st, str(tmp_path / "props.psv"))
+    with open(p) as f:
+        got = [ln.rstrip("\n").split("|") for ln in f]
+    exp = sorted(
+        (r["class"], r["property"], r["obj_type"], str(r["support"]),
+         str(r["class_count"])) for r in st.collect())
+    assert [tuple(r) for r in got] == exp
+    assert all(len(r) == 5 for r in got)
+
+
+def test_shape_metrics_csv_appends_grid(spark, tmp_path):
+    from qse_spark.shapes import shape_metrics_df
+    st = shape_stats(_triples(spark))
+    m = shape_metrics_df(st)
+    p = str(tmp_path / "dataset.csv")
+    sinks.write_shape_metrics_csv(m, p, "fixture")                  # default
+    sinks.write_shape_metrics_csv(m, p, "fixture", 0.25, 100)       # grid pt
+    with open(p) as f:
+        lines = f.read().splitlines()
+    assert lines[0].startswith("DATASET,Confidence,Support,NODE_SHAPES,")
+    assert len(lines) == 3                        # header written only once
+    assert lines[1].startswith("fixture, > 1.0%, > 1.0,")
+    assert lines[2].startswith("fixture, > 25.0%, > 100,")
+    n_cols = len(lines[0].split(","))
+    assert all(len(ln.split(",")) == n_cols for ln in lines[1:])
+
+
+def test_runtime_and_sampling_logs(tmp_path):
+    p = str(tmp_path / "RUNTIME_LOGS.csv")
+    sinks.append_runtime_log(p, "ds", "firstPhase", 130, 130, True, "/d")
+    sinks.append_runtime_log(p, "ds", "secondPhase", 70, 200, True, "/d")
+    with open(p) as f:
+        lines = f.read().splitlines()
+    assert lines == ["ds,firstPhase,130,2,130,2,True,/d",
+                     "ds,secondPhase,70,1,200,3,True,/d"]
+    s = str(tmp_path / "SAMPLING_LOGS.csv")
+    sinks.append_sampling_log(s, "reservoir", 50, 1, 100, 1234)
+    assert open(s).read() == "reservoir,50,1,100,1234\n"
