@@ -143,6 +143,33 @@ def test_winnow_plan_is_jvm_native(spark):
     assert "xxhash64" in s.lower()
 
 
+def test_winnow_plan_has_zero_exchanges(spark):
+    """The per-row formulation (transform/slice/array_min +
+    array_distinct) must compute the fingerprint SET entirely map-side:
+    any Exchange would mean we re-introduced the per-character shuffle
+    the round-2 window formulation paid."""
+    from qse_spark.operators.text import winnow_fingerprint
+    from qse_spark.plans import plan_summary
+    docs = spark.createDataFrame([(1, "some text about winnowing here")],
+                                 ["doc_id", "text"])
+    assert plan_summary(winnow_fingerprint(docs, k=8, w=4))["exchanges"] == 0
+
+
+def test_cosine_near_dup_block_cap_in_plan(spark):
+    """The bucket self-join must sit above the max_block population
+    filter (bn <= cap) — the cap is what bounds the per-bucket quadratic
+    blow-up at corpus scale."""
+    from qse_spark.operators.similarity import cosine_near_dup_pairs
+    from qse_spark.plans import explain_str
+    import numpy as np
+    rng = np.random.default_rng(0)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(10)],
+        ["vec_id", "embedding"])
+    s = explain_str(cosine_near_dup_pairs(emb, dim=8, max_block=123))
+    assert "123" in s and "bn" in s, "max_block filter missing from plan"
+
+
 def test_ivf_broadcasts_query_side(spark):
     """IVF re-rank joins corpus cells to the (small, exploded) query probe
     side — the query side must be broadcast, never a corpus shuffle."""
