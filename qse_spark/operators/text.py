@@ -152,17 +152,26 @@ def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     array — far cheaper than shuffling the same volume. Docs shorter than
     k chars contribute their single short gram; windows that would run
     past the last gram are dropped (window starts 0..greatest(n_grams-w,
-    0), so short docs keep window 0)."""
+    0), so short docs keep window 0).
+
+    Evaluation-count trap: referencing the gram-hash array from a sibling
+    column (`withColumn("hs", ...)` then `slice(hs, ...)` in a second
+    projection) lets CollapseProject inline the WHOLE hash-array
+    expression into every window position — O(chars^2) hashes per
+    document (measured: 467 s for 500 ~300-char docs). Binding it as a
+    lambda variable via `transform(array(<hs>), hs -> ...)` forces
+    exactly one evaluation per row (same contract as the
+    asNondeterministic guard on similarity._ivf_cells_udf);
+    tests/test_plans.py::test_winnow_single_hash_array_eval guards it."""
     txt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     base = docs.select("doc_id", txt.alias("t"))
     hs = (f"transform(sequence(0, greatest(length(t) - {k}, 0)), "
           f"i -> xxhash64(substring(t, i + 1, {k})))")
-    fps = (f"array_distinct(transform("
+    fps = (f"element_at(transform(array({hs}), "
+           f"hs -> array_distinct(transform("
            f"sequence(0, greatest(size(hs) - {w}, 0)), "
-           f"p -> array_min(slice(hs, p + 1, {w}))))")
-    return (base.withColumn("hs", F.expr(hs))
-            .withColumn("fp_set", F.expr(fps))
-            .select("doc_id", F.explode("fp_set").alias("fp")))
+           f"p -> array_min(slice(hs, p + 1, {w}))))), 1)")
+    return base.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
 
 
 # PII patterns — conservative ASCII classes that parse identically in Java

@@ -155,6 +155,20 @@ def test_winnow_plan_has_zero_exchanges(spark):
     assert plan_summary(winnow_fingerprint(docs, k=8, w=4))["exchanges"] == 0
 
 
+def test_winnow_single_hash_array_eval(spark):
+    """The gram-hash array must be built ONCE per row (bound as a lambda
+    variable). If CollapseProject inlines it into each window reference,
+    the plan contains the xxhash64 transform more than once and the
+    operator degrades to O(chars^2) hashes per document (measured 467 s
+    for 500 ~300-char docs before the lambda-binding fix)."""
+    from qse_spark.operators.text import winnow_fingerprint
+    from qse_spark.plans import explain_str
+    docs = spark.createDataFrame([(1, "some text about winnowing here")],
+                                 ["doc_id", "text"])
+    s = explain_str(winnow_fingerprint(docs, k=8, w=4))
+    assert s.count("xxhash64") == 1, "gram-hash array evaluated repeatedly"
+
+
 def test_cosine_near_dup_block_cap_in_plan(spark):
     """The bucket self-join must sit above the max_block population
     filter (bn <= cap) — the cap is what bounds the per-bucket quadratic
