@@ -96,7 +96,14 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
     count) instead of carrying collect_set arrays through the join, so the
     verify shuffle moves (pair, shingle) rows, never document-sized
     payloads (VERDICT r1 item 8) — and CC runs on the duplicate pairs only
-    (a tiny fraction of the corpus)."""
+    (a tiny fraction of the corpus).
+
+    Small-scale note: the relational verify costs ~2 extra shuffle stages
+    of FIXED scheduler latency, so at bench scale (5K docs) the op is
+    ~1.7x slower than an array-carry verify would be (measured, see
+    BASELINE.md round-3 notes). The crossover favors this plan as soon
+    as shingle-array payloads x candidates stop fitting executor memory
+    — the regime this operator is built for."""
     sh = word_shingles(docs, k).persist()
     mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(bands * rows)]
