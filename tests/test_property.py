@@ -79,6 +79,57 @@ def test_winnow_twin_matches_spark(spark, texts):
     assert got == exp
 
 
+@given(st.binary(max_size=200))
+@settings(deadline=None, max_examples=300)
+@example(payload=b"\x89PNG\r\n\x1a\n")            # signature, no IHDR
+@example(payload=b"RIFF\x00\x00\x00\x00WAVE")     # WAVE, no chunks
+@example(payload=b"RIFF\xff\xff\xff\xffWAVEfmt \xff\xff\xff\xff")
+def test_media_header_parsers_never_crash(payload):
+    """_parse_png/_parse_wav must return a tuple or None on ARBITRARY
+    bytes — truncated chunks, lying sizes, empty input — never raise
+    (they run inside an Arrow batch on whatever binary a corpus holds)."""
+    from qse_spark.operators.multimodal import _parse_png, _parse_wav
+    for parse in (_parse_png, _parse_wav):
+        out = parse(payload)
+        assert out is None or isinstance(out, tuple)
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(deadline=None, max_examples=200)
+def test_media_synth_decode_roundtrip_scalar(i):
+    """The synth byte spec and the header parsers agree for every id —
+    the scalar core of the mm_decode_real oracle, fuzzed over the id
+    space without a Spark job."""
+    import struct as _s
+    import zlib as _z
+
+    from qse_spark.goldgen import gold_mm_real
+    from qse_spark.operators.multimodal import _parse_png, _parse_wav
+    gold = gold_mm_real([i]).to_pylist()[0]
+    # rebuild the payload exactly like synth_media does
+    if i % 2 == 0:
+        w, h = 16 + i % 512, 16 + (i * 7) % 512
+        ihdr = _s.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+        p = (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + ihdr
+             + b"\x00" * 4 + _s.pack(">I", 0) + b"IEND" + b"\x00" * 4)
+        assert _parse_png(p) == (gold["width"], gold["height"])
+        assert _parse_wav(p) is None
+    else:
+        ch = 1 + i % 2
+        sr = 8000 + (i % 5) * 1000
+        nsamp = 100 + i % 400
+        align = ch * 2
+        fmt = _s.pack("<HHIIHH", 1, ch, sr, sr * align, align, 16)
+        data = b"\x00" * (nsamp * align)
+        p = (b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+             + b"fmt " + _s.pack("<I", 16) + fmt
+             + b"data" + _s.pack("<I", len(data)) + data)
+        assert _parse_wav(p) == (gold["channels"], gold["sample_rate"],
+                                 gold["n_frames"])
+        assert _parse_png(p) is None
+    assert len(p) == gold["n_bytes"] and _z.crc32(p) == gold["crc32"]
+
+
 _LITERAL = st.text(
     alphabet=st.one_of(
         st.characters(min_codepoint=32, max_codepoint=0x2FF),
