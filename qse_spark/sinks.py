@@ -134,3 +134,67 @@ def append_sampling_log(path: str, sampling_type: str, percentage: int,
         f.write(f"{sampling_type},{percentage},{min_threshold},"
                 f"{max_threshold},{container_size}\n")
     return path
+
+
+def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
+                            out_dir: str, dataset: str,
+                            grid: list[tuple[float, int]] | None = None,
+                            type_predicate: str | None = None,
+                            sh_not: bool = True) -> dict[str, str]:
+    """Assemble the reference's whole Output/ directory in one call
+    (`Main.java` drives ShapesExtractor.constructDefaultShapes +
+    constructPrunedShapes per grid point, then the CSV side outputs):
+
+      <dataset>_QSE_FULL_SHACL.ttl          default (unpruned) shapes
+      <dataset>_QSE_<C>_<S>_SHACL.ttl       one per (confidence, support),
+                                            sh:not wrappers included when
+                                            sh_not=True
+      classFrequency.csv                    Class,Frequency
+      <dataset>.csv                         experiments metric rows
+                                            (default + one per grid point)
+      <dataset>-shape-props-stats.csv       class|property|objType|support|
+                                            classEntityCount PSV
+
+    Returns {label: path}. TTLs are written partitioned (each shard a
+    self-contained document) — reference parity is per-shape-block, not
+    per-file; the TTL reader accepts both."""
+    from .constants import TYPE_PREDICATE
+    from .shapes import (negative_shapes, node_shapes, property_shapes,
+                         pruned_shapes, shape_metrics_df, write_ttl)
+    from .stats import prune
+
+    tp = type_predicate or TYPE_PREDICATE
+    grid = grid if grid is not None else [(0.25, 100), (0.5, 100)]
+    os.makedirs(out_dir, exist_ok=True)
+    paths: dict[str, str] = {}
+
+    full_ttl = os.path.join(out_dir, f"{dataset}_QSE_FULL_SHACL.ttl")
+    write_ttl(node_shapes(stats), property_shapes(stats, tp), full_ttl)
+    paths["QSE_FULL"] = full_ttl
+    metrics_csv = os.path.join(out_dir, f"{dataset}.csv")
+    write_shape_metrics_csv(shape_metrics_df(stats, tp), metrics_csv,
+                            dataset)
+
+    for conf, supp in grid:
+        ns, ps = pruned_shapes(stats, conf, supp, tp)
+        neg = negative_shapes(stats, conf, supp, tp) if sh_not else None
+        tag = f"QSE_{conf}_{supp}"
+        p = os.path.join(out_dir, f"{dataset}_{tag}_SHACL.ttl")
+        write_ttl(ns, ps, p, neg_props=neg)
+        paths[tag] = p
+        # per-model metric row from the same kept-row set pruned_shapes
+        # renders (threshold rows + the never-pruned type rows)
+        kept = (prune(stats, conf, supp)
+                .unionByName(stats.filter(F.col("property") == tp))
+                .distinct()
+                .join(ns.select(F.col("target_class").alias("class")),
+                      "class", "left_semi"))
+        write_shape_metrics_csv(shape_metrics_df(kept, tp), metrics_csv,
+                                dataset, conf, supp)
+    paths["metrics"] = metrics_csv
+
+    paths["classFrequency"] = write_class_frequency(
+        class_counts, os.path.join(out_dir, "classFrequency.csv"))
+    paths["shape_props"] = write_shape_support_psv(
+        stats, os.path.join(out_dir, f"{dataset}-shape-props-stats.csv"))
+    return paths

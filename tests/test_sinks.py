@@ -61,6 +61,29 @@ def test_shape_metrics_csv_appends_grid(spark, tmp_path):
     assert all(len(ln.split(",")) == n_cols for ln in lines[1:])
 
 
+def test_reference_output_directory(spark, tmp_path):
+    """write_reference_outputs assembles the reference's Output/ layout:
+    TTLs readable back through read_ttl_shapes, the experiments CSV with
+    one default + one row per grid point, classFrequency and the PSV."""
+    import os
+
+    from qse_spark.shapes import read_ttl_shapes
+    st = shape_stats(_triples(spark))
+    cc = class_counts_df(entity_types_df(_triples(spark)))
+    paths = sinks.write_reference_outputs(
+        st, cc, str(tmp_path / "Output"), "fixture", grid=[(0.5, 1)])
+    assert set(paths) == {"QSE_FULL", "QSE_0.5_1", "metrics",
+                          "classFrequency", "shape_props"}
+    assert all(os.path.exists(p) for p in paths.values())
+    full = read_ttl_shapes(spark, paths["QSE_FULL"])
+    assert full.count() > 0
+    pruned = read_ttl_shapes(spark, paths["QSE_0.5_1"])
+    assert 0 < pruned.count() <= full.count()
+    with open(paths["metrics"]) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 3 and lines[2].startswith("fixture, > 50.0%, > 1,")
+
+
 def test_runtime_and_sampling_logs(tmp_path):
     p = str(tmp_path / "RUNTIME_LOGS.csv")
     sinks.append_runtime_log(p, "ds", "firstPhase", 130, 130, True, "/d")
