@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--approx-max-cap", type=int, default=1000)
     ap.add_argument("--approx-target-pct", type=float, default=100.0)
     ap.add_argument("--fixture-turns", type=int, default=100_000)
+    ap.add_argument("--output-dir", default=None,
+                    help="also write the reference-layout Output/ dir "
+                         "(SHACL TTLs, classFrequency.csv, metrics CSV, "
+                         "shape-props PSV) here")
+    ap.add_argument("--dataset", default="transcripts",
+                    help="dataset name used in reference-layout filenames")
+    ap.add_argument("--grid", default="0.25:100,0.5:100",
+                    help="pruning grid for --output-dir, as C:S[,C:S...]")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,9 +70,22 @@ def main():
                            approx_target_pct=args.approx_target_pct),
                        counters=counters)
     n = out["shape_stats"].count()
+    written = None
+    if args.output_dir:
+        from pyspark.sql import functions as F
+
+        from qse_spark.sinks import write_reference_outputs
+        st = out["shape_stats"]
+        # every class carries its rdf:type row in stats, so the distinct
+        # (class, class_count) projection IS the class-frequency table
+        cc = st.select(F.col("class"), F.col("class_count")).distinct()
+        grid = [(float(c), int(s)) for c, s in
+                (pair.split(":") for pair in args.grid.split(",") if pair)]
+        written = write_reference_outputs(st, cc, args.output_dir,
+                                          args.dataset, grid=grid)
     print(json.dumps({"shape_stat_rows": n,
                       "elapsed_sec": round(time.time() - t0, 2),
-                      "stages": counters}))
+                      "stages": counters, "outputs": written}))
     spark.stop()
 
 
