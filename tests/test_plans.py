@@ -128,6 +128,26 @@ def test_validation_report_broadcasts_shape_side(spark):
     assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
 
 
+def test_sh_not_report_broadcasts_shape_side(spark):
+    """sh:not analysis fans the (tiny) negated-shape table across the
+    corpus: shape/branch joins must be broadcast and the per-value
+    conformance join must not shuffle the corpus against itself."""
+    from qse_spark.plans import explain_str, plan_summary
+    from qse_spark.validation import sh_not_report
+    t = spark.createDataFrame(ROWS, ["subject", "predicate", "object",
+                                     "obj_kind"])
+    df = sh_not_report(t, 0.5, 1)
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s
+    # no all-pairs fallback anywhere: every join has equi-keys
+    assert "CartesianProduct" not in s
+    # the static plan re-derives the vocabulary-sized stats subtree per
+    # consumer (the repo's convention: AQE exchange reuse dedupes it at
+    # runtime rather than a leaked persist) — so only assert the corpus-
+    # side join count stays bounded, not the raw exchange count
+    assert plan_summary(df)["sortmerge_joins"] < 60
+
+
 def test_winnow_plan_is_jvm_native(spark):
     """Winnowing must stay native end-to-end: no Python evaluation nodes,
     one partition-local window (no extra exchanges beyond the doc_id
