@@ -136,6 +136,46 @@ def append_sampling_log(path: str, sampling_type: str, percentage: int,
     return path
 
 
+_PR_HEADER = ("File_A, File_B, Confidence, Support, NS, PS, NS_Samp, "
+              "PS_Samp, Precision_NS, Recall_NS, Precision_PS, Recall_PS, "
+              "MaxReservoirSize, TargetPercentage")
+
+
+def write_precision_recall_csv(path: str, file_a: str, file_b: str,
+                               ns_a: DataFrame, ps_a: DataFrame,
+                               ns_b: DataFrame, ps_b: DataFrame,
+                               confidence: float | None = None,
+                               support: int | None = None,
+                               max_reservoir: int | None = None,
+                               target_pct: float | None = None) -> str:
+    """One `<dataset>_PrecisionRecall.csv` line comparing shape set B
+    (e.g. sampled) against baseline A (exact), exactly the reference's
+    header/row shape (`PrecisionRecallComputer.java:49-63`): node shapes
+    keyed by target class, property shapes by (target class, path)."""
+    from .shapes import precision_recall
+    pr_ns = precision_recall(ns_a.select("target_class"),
+                             ns_b.select("target_class"))
+    pr_ps = precision_recall(ps_a.select("target_class", "path"),
+                             ps_b.select("target_class", "path"))
+
+    def _cell(v):
+        return "" if v is None else v
+
+    line = ", ".join(str(x) for x in [
+        file_a, file_b, _cell(confidence), _cell(support),
+        pr_ns["a"], pr_ps["a"], pr_ns["b"], pr_ps["b"],
+        round(pr_ns["precision"], 6), round(pr_ns["recall"], 6),
+        round(pr_ps["precision"], 6), round(pr_ps["recall"], 6),
+        _cell(max_reservoir), _cell(target_pct)])
+    _ensure_dir(path)
+    write_header = not os.path.exists(path)
+    with open(path, "a") as f:
+        if write_header:
+            f.write(_PR_HEADER + "\n")
+        f.write(line + "\n")
+    return path
+
+
 def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
                             out_dir: str, dataset: str,
                             grid: list[tuple[float, int]] | None = None,

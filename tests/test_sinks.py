@@ -84,6 +84,25 @@ def test_reference_output_directory(spark, tmp_path):
     assert len(lines) == 3 and lines[2].startswith("fixture, > 50.0%, > 1,")
 
 
+def test_precision_recall_csv(spark, tmp_path):
+    """Reference-format P/R row: exact vs pruned shape sets; pruning only
+    removes shapes, so precision must be 1.0 and recall <= 1.0."""
+    from qse_spark.shapes import node_shapes, property_shapes, pruned_shapes
+    st = shape_stats(_triples(spark))
+    ns_a, ps_a = node_shapes(st), property_shapes(st)
+    ns_b, ps_b = pruned_shapes(st, 0.5, 1)
+    p = sinks.write_precision_recall_csv(
+        str(tmp_path / "pr.csv"), "QSE_FULL", "QSE_0.5_1",
+        ns_a, ps_a, ns_b, ps_b, confidence=0.5, support=1)
+    with open(p) as f:
+        header, row = f.read().splitlines()
+    assert header.startswith("File_A, File_B, Confidence, Support, NS,")
+    cells = [c.strip() for c in row.split(",")]
+    assert cells[0] == "QSE_FULL" and cells[1] == "QSE_0.5_1"
+    assert float(cells[8]) == 1.0 and float(cells[10]) == 1.0  # precision
+    assert float(cells[9]) <= 1.0 and float(cells[11]) <= 1.0  # recall
+
+
 def test_runtime_and_sampling_logs(tmp_path):
     p = str(tmp_path / "RUNTIME_LOGS.csv")
     sinks.append_runtime_log(p, "ds", "firstPhase", 130, 130, True, "/d")
