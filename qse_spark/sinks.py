@@ -197,7 +197,11 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
 
     Returns {label: path}. TTLs are written partitioned (each shard a
     self-contained document) — reference parity is per-shape-block, not
-    per-file; the TTL reader accepts both."""
+    per-file; the TTL reader accepts both. TTL/CSV/PSV files overwrite,
+    but the experiments metrics CSV APPENDS one row per call like the
+    reference's writeToFileInAppendMode — re-running into the same
+    out_dir accumulates metric rows (delete `<dataset>.csv` first for a
+    fresh log)."""
     from .constants import TYPE_PREDICATE
     from .shapes import (negative_shapes, node_shapes, property_shapes,
                          pruned_shapes, shape_metrics_df, write_ttl)
