@@ -67,7 +67,11 @@ def _parse_wav(p: bytes):
     """(channels, sample_rate, n_sample_frames) from a RIFF/WAVE header,
     or None. Walks the chunk list (id:4 + size:4 LE + payload, word-
     aligned) for `fmt ` and `data` — sizes come from the header, the
-    sample data itself is never touched."""
+    sample data itself is never touched. The declared data size is
+    CLAMPED to the bytes actually present (crawled corpora are full of
+    truncated files and lying headers; an unclamped 0xFFFFFFFE size
+    would both overcount frames and overflow the int32 feature column
+    downstream — round-3 review finding)."""
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
     pos, ch, sr, align, data_size = 12, None, None, None, None
@@ -78,7 +82,7 @@ def _parse_wav(p: bytes):
             _, ch, sr, _, align, _ = struct.unpack(
                 "<HHIIHH", p[pos + 8:pos + 24])
         elif cid == b"data":
-            data_size = size
+            data_size = min(size, max(0, len(p) - (pos + 8)))
         pos += 8 + size + (size & 1)
     if ch is None or data_size is None or not align:
         return None

@@ -121,18 +121,24 @@ def approx_shape_stats(triples: DataFrame, max_cap: int = 1000,
             .join(F.broadcast(spc), "property", "left"))
 
 
-def prune_sampled(stats: DataFrame, confidence: float, support: int) -> DataFrame:
-    """Relative-support pruning (`ShapesExtractor.java:301-312,365-376`):
-    keep iff conf > C and supp > S * min(sampledPropCount/propCount,
-    sampledClassCount/classCount); S == 1 keeps supp >= 1."""
+def kept_sampled(confidence: float, support: int):
+    """The relative-support keep PREDICATE
+    (`ShapesExtractor.java:301-312,365-376`): conf > C and supp > S *
+    min(sampledPropCount/propCount, sampledClassCount/classCount);
+    S == 1 keeps supp >= 1. Shared by prune_sampled and the driver's
+    flag-column row so the two cannot drift."""
     if support == 1:
-        return stats.filter((F.col("confidence") > confidence)
-                            & (F.col("support") >= 1))
+        return (F.col("confidence") > confidence) & (F.col("support") >= 1)
     ratio = F.least(
         F.coalesce(F.col("sampled_prop_count") / F.col("prop_count"), F.lit(1.0)),
         F.col("sampled_class_count") / F.col("class_count"))
-    return stats.filter((F.col("confidence") > confidence)
-                        & (F.col("support") > F.lit(support) * ratio))
+    return ((F.col("confidence") > confidence)
+            & (F.col("support") > F.lit(support) * ratio))
+
+
+def prune_sampled(stats: DataFrame, confidence: float, support: int) -> DataFrame:
+    """Relative-support pruning: rows satisfying kept_sampled."""
+    return stats.filter(kept_sampled(confidence, support))
 
 
 def bernoulli_sample_entities(entity_types: DataFrame, pct: float,

@@ -107,21 +107,42 @@ def property_shapes(stats: DataFrame,
                     "uses_or", "class_count"))
 
 
+def ns_support_gate(support: int):
+    """Node-shape survival gate: class_count > S (>= when S == 1,
+    ShapesExtractor.java:297-301). THE single statement of the rule —
+    pruned_shapes, both validation reports and the reference-output
+    sink all import it, so the gate cannot drift between the shapes
+    that are emitted and the shapes that are validated/measured."""
+    return (F.col("class_count") >= support) if support == 1 \
+        else (F.col("class_count") > support)
+
+
+def kept_stat_rows(stats: DataFrame, confidence: float, support: int,
+                   type_predicate: str = TYPE_PREDICATE) -> DataFrame:
+    """The QSE-Pruned row spine: threshold-surviving rows plus the
+    never-pruned instance-type rows, restricted to classes whose node
+    shape survives ns_support_gate. Single source of truth for
+    pruned_shapes (what is emitted), validation_report (what is
+    validated) and the per-grid metric rows (what is measured)."""
+    rows = (prune(stats, confidence, support)
+            .unionByName(stats.filter(F.col("property") == type_predicate))
+            .distinct())
+    ns = node_shapes(stats).filter(ns_support_gate(support))
+    return rows.join(
+        F.broadcast(ns.select(F.col("target_class").alias("class"))),
+        "class", "left_semi")
+
+
 def pruned_shapes(stats: DataFrame, confidence: float, support: int,
                   type_predicate: str = TYPE_PREDICATE
                   ) -> tuple[DataFrame, DataFrame]:
     """(node_shapes, property_shapes) after QSE-Pruned filtering:
-    node shapes gated on class_count > S (>= when S == 1); property rows
-    threshold-filtered except the instance-type property, which always
-    survives (ShapesExtractor.java:297-301)."""
-    kept_rows = prune(stats, confidence, support)
-    type_rows = stats.filter(F.col("property") == type_predicate)
-    rows = kept_rows.unionByName(type_rows).distinct()
-    ns_gate = (F.col("class_count") >= support) if support == 1 \
-        else (F.col("class_count") > support)
-    ns = node_shapes(stats).filter(ns_gate)
-    ps = (property_shapes(rows, type_predicate)
-          .join(ns.select("target_class"), "target_class", "left_semi"))
+    node shapes gated on ns_support_gate; property rows from
+    kept_stat_rows (threshold-filtered except the instance-type
+    property, which always survives)."""
+    ns = node_shapes(stats).filter(ns_support_gate(support))
+    ps = property_shapes(kept_stat_rows(stats, confidence, support,
+                                        type_predicate), type_predicate)
     return ns, ps
 
 

@@ -96,7 +96,12 @@ def write_shape_metrics_csv(metrics: DataFrame, path: str, dataset: str,
     if confidence is None:
         cell_c, cell_s = " > 1.0%", " > 1.0"
     else:
-        cell_c, cell_s = f" > {confidence * 100}%", f" > {support}"
+        # round before rendering: raw float repr turns 0.07*100 into
+        # '7.000000000000001%' (Java's Double.toString in the reference
+        # has the same artifact, but a stable cell is worth the cosmetic
+        # divergence — comparisons should not depend on fp repr noise)
+        cell_c = f" > {round(confidence * 100, 6)}%"
+        cell_s = f" > {support}"
     vals = ",".join(str(row[c]) for c in _METRIC_COLS)
     line = f"{dataset},{cell_c},{cell_s},{vals}"
     header = "DATASET,Confidence,Support," + ",".join(
@@ -203,9 +208,9 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
     out_dir accumulates metric rows (delete `<dataset>.csv` first for a
     fresh log)."""
     from .constants import TYPE_PREDICATE
-    from .shapes import (negative_shapes, node_shapes, property_shapes,
-                         pruned_shapes, shape_metrics_df, write_ttl)
-    from .stats import prune
+    from .shapes import (kept_stat_rows, negative_shapes, node_shapes,
+                         property_shapes, pruned_shapes, shape_metrics_df,
+                         write_ttl)
 
     tp = type_predicate or TYPE_PREDICATE
     grid = grid if grid is not None else [(0.25, 100), (0.5, 100)]
@@ -226,13 +231,10 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
         p = os.path.join(out_dir, f"{dataset}_{tag}_SHACL.ttl")
         write_ttl(ns, ps, p, neg_props=neg)
         paths[tag] = p
-        # per-model metric row from the same kept-row set pruned_shapes
-        # renders (threshold rows + the never-pruned type rows)
-        kept = (prune(stats, conf, supp)
-                .unionByName(stats.filter(F.col("property") == tp))
-                .distinct()
-                .join(ns.select(F.col("target_class").alias("class")),
-                      "class", "left_semi"))
+        # per-model metric row from THE kept-row spine pruned_shapes
+        # renders — one source of truth, so the metrics always describe
+        # the shapes in the adjacent TTL file
+        kept = kept_stat_rows(stats, conf, supp, tp)
         write_shape_metrics_csv(shape_metrics_df(kept, tp), metrics_csv,
                                 dataset, conf, supp)
     paths["metrics"] = metrics_csv

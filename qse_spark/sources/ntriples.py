@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 # <s> <p> <o> .   with o = IRI | literal ("..."[@lang|^^<dtype>]) | bnode
 _S = r"^\s*(?:<([^>]*)>|(_:\S+))\s+"
 _P = r"<([^>]*)>\s+"
-_O = r"(?:<([^>]*)>|(_:\S+)|\"((?:[^\"\\]|\\.)*)\"(?:@([A-Za-z\-]+)|\^\^<([^>]*)>)?)\s*\.\s*$"
+_O = (r"(?:<([^>]*)>|(_:\S+)|\"((?:[^\"\\]|\\.)*)\""
+      r"(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)|\^\^<([^>]*)>)?)\s*\.\s*$")
 _NT = _S + _P + _O
 
 
@@ -47,9 +48,14 @@ def write_ntriples(triples: DataFrame, path: str,
     # degrading such payloads to plain strings — round-2 fuzz finding).
     # A langString row with no parsable '@lang' suffix falls back to a
     # plain string literal (never emit the malformed `"..."@` form).
+    # Tag grammar = the N-Triples LANGTAG production, the SAME pattern
+    # read_ntriples' line regex accepts — a writer/reader grammar mismatch
+    # silently drops the whole triple on roundtrip (round-3 review
+    # finding: the writer took digit tags like es-419 the reader refused,
+    # and accepted spec-invalid trailing hyphens like 'en-').
     _tag = F.substring_index(F.col("object"), "@", -1)
     _has_tag = (F.col("object").contains("@")
-                & _tag.rlike(r"^[A-Za-z][A-Za-z0-9\-]*$"))
+                & _tag.rlike(r"^[A-Za-z]+(-[A-Za-z0-9]+)*$"))
     lang_tag = F.when(_has_tag, _tag).otherwise(F.lit(""))
     lang_word = F.col("object").substr(
         F.lit(1), F.length("object") - F.length(_tag) - F.lit(1))

@@ -29,9 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .constants import TYPE_PREDICATE, UNDEFINED_OBJECT_TYPE
-from .shapes import negative_shapes, node_shapes, property_shapes
-from .stats import (_literal_type_expr, entity_types_df, prune,
-                    prune_negative, shape_stats, tagged_constraint_rows)
+from .shapes import (kept_stat_rows, negative_shapes, node_shapes,
+                     ns_support_gate, property_shapes)
+from .stats import (_literal_type_expr, entity_types_df, prune_negative,
+                    shape_stats, tagged_constraint_rows)
 
 
 def _checkpointed_stats(triples: DataFrame, type_predicate: str) -> DataFrame:
@@ -64,21 +65,13 @@ def validation_report(triples: DataFrame, confidence: float, support: int,
     if stats is None:
         stats = _checkpointed_stats(triples, type_predicate)
 
-    # shapes under validation: QSE-Pruned rows + the never-pruned type rows,
-    # gated on surviving node shapes (same spine as shapes.pruned_shapes)
-    kept_rows = (prune(stats, confidence, support)
-                 .unionByName(stats.filter(F.col("property") == type_predicate))
-                 .distinct())
-    ns_gate = (F.col("class_count") >= support) if support == 1 \
-        else (F.col("class_count") > support)
-    ns = node_shapes(stats).filter(ns_gate)
-    # no persist: kept_rows is a vocabulary-sized aggregate consumed by two
-    # branches of ONE returned plan — caching it here would leak executor
-    # storage on every call (nothing could ever unpersist it), and Spark's
-    # exchange reuse already dedupes the recompute inside one action
-    kept_rows = kept_rows.join(
-        F.broadcast(ns.select(F.col("target_class").alias("class"))),
-        "class", "left_semi")
+    # shapes under validation: THE pruning spine shapes.kept_stat_rows —
+    # the same rows pruned_shapes emits, so validation cannot drift from
+    # the emitted shapes. No persist: vocabulary-sized, consumed by two
+    # branches of ONE returned plan (exchange reuse dedupes at runtime,
+    # and the stats input is already materialized above).
+    ns = node_shapes(stats).filter(ns_support_gate(support))
+    kept_rows = kept_stat_rows(stats, confidence, support, type_predicate)
     ps = property_shapes(kept_rows, type_predicate)
 
     focus = (etypes.join(
@@ -173,10 +166,9 @@ def sh_not_report(triples: DataFrame, confidence: float, support: int,
     neg_ps = negative_shapes(stats, confidence, support, type_predicate)
 
     # focus nodes of classes that (a) keep a surviving node shape to hang
-    # sh:not off (same gate as pruned_shapes) and (b) have >=1 neg shape
-    ns_gate = (F.col("class_count") >= support) if support == 1 \
-        else (F.col("class_count") > support)
-    ns = node_shapes(stats).filter(ns_gate)
+    # sh:not off (shapes.ns_support_gate — the pruned_shapes gate) and
+    # (b) have >=1 neg shape
+    ns = node_shapes(stats).filter(ns_support_gate(support))
     neg_classes = (neg_ps.select(F.col("target_class"))
                    .join(ns.select("target_class"), "target_class",
                          "left_semi").distinct())

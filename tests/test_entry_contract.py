@@ -80,6 +80,7 @@ def test_tfidf_oracle_float_margins(spark):
     tau_margin = min(abs(c - 0.9) for c in cosines)
     assert tau_margin > 1e-6, f"pair within {tau_margin} of tau=0.9"
     kept = [c for c in cosines if c >= 0.9 and c < 1.0]
+    assert kept, "no pair in [0.9, 1.0): near-dup band empty in fixture"
     micro_margin = min(abs((c * 1e6) % 1.0 - 0.5) for c in kept)
     assert micro_margin > 1e-4, \
         f"cosine within {micro_margin} µ-units of a rounding midpoint"

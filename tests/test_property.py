@@ -92,6 +92,11 @@ def test_media_header_parsers_never_crash(payload):
     for parse in (_parse_png, _parse_wav):
         out = parse(payload)
         assert out is None or isinstance(out, tuple)
+    wav = _parse_wav(payload)
+    if wav is not None:
+        # declared data size is clamped to bytes present, so the frame
+        # count can never exceed the payload (or overflow int32 features)
+        assert wav[2] <= len(payload)
 
 
 @given(st.integers(min_value=0, max_value=10_000_000))
@@ -154,7 +159,10 @@ def test_ntriples_roundtrip_arbitrary_literals(spark, tmp_path_factory, rows):
         if kind == "iri":
             obj = f"obj{i}"
         elif kind == "langString":
-            obj = lit.replace("@", "") + "@en"
+            # include digit-bearing BCP-47 tags: the round-3 review found
+            # a writer/reader LANGTAG grammar mismatch dropping es-419
+            tag = ["en", "es-419", "zh-Hant", "de-DE-1901"][i % 4]
+            obj = lit.replace("@", "") + "@" + tag
         elif kind == "integer":
             obj = str(len(lit))
         elif kind == "date":
