@@ -56,10 +56,13 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def _parse_png(p: bytes):
     """(width, height) from the IHDR chunk, or None if not a PNG. The
     IHDR is mandatory-first (PNG spec §5.6), so width/height live at
-    fixed offsets 16/20 as big-endian u32."""
+    fixed offsets 16/20 as big-endian u32. The spec caps dimensions at
+    2^31-1 and forbids zero — out-of-range values mean a corrupt file,
+    returned as None (not a crash in the Int32 feature cast)."""
     if len(p) >= 24 and p[:8] == _PNG_SIG and p[12:16] == b"IHDR":
         w, h = struct.unpack(">II", p[16:24])
-        return w, h
+        if 0 < w < 2 ** 31 and 0 < h < 2 ** 31:
+            return w, h
     return None
 
 
@@ -86,6 +89,8 @@ def _parse_wav(p: bytes):
         pos += 8 + size + (size & 1)
     if ch is None or data_size is None or not align:
         return None
+    if not (0 < sr < 2 ** 31):        # u32 field; a lying rate would
+        return None                   # overflow the Int32 feature cast
     return ch, sr, data_size // align
 
 

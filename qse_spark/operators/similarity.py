@@ -102,8 +102,7 @@ def lsh_ann_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 
 def dropped_bucket_report(emb: DataFrame, dim: int = 64, n_planes: int = 8,
-                          seed: int = 7, max_block: int = 2000,
-                          id_col: str = "vec_id") -> DataFrame:
+                          seed: int = 7, max_block: int = 2000) -> DataFrame:
     """(bucket, n) for LSH buckets the `max_block` cap removes from
     cosine_near_dup_pairs — dropped blocks must be observable, never
     silent (same contract as dedup.dropped_shingle_report /

@@ -64,12 +64,6 @@ LEFT JOIN maxc m ON s.cls = m.cls AND s.property = m.property
 """
 
 
-def prune_sql(stats_sql: str, confidence: float, support: int) -> str:
-    supp = f"support >= {support}" if support == 1 else f"support > {support}"
-    return (f"SELECT * FROM ({stats_sql}) "
-            f"WHERE confidence > {confidence} AND {supp}")
-
-
 # ------------------------------------------------- TPC-H triple-view builder
 # A KG derived from the driver-provided star schema: typed customers
 # (multi-class via market segment), typed orders/nations, untyped regions

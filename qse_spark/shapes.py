@@ -118,13 +118,26 @@ def ns_support_gate(support: int):
 
 
 def kept_stat_rows(stats: DataFrame, confidence: float, support: int,
-                   type_predicate: str = TYPE_PREDICATE) -> DataFrame:
+                   type_predicate: str = TYPE_PREDICATE,
+                   sampled: bool = False) -> DataFrame:
     """The QSE-Pruned row spine: threshold-surviving rows plus the
     never-pruned instance-type rows, restricted to classes whose node
     shape survives ns_support_gate. Single source of truth for
     pruned_shapes (what is emitted), validation_report (what is
-    validated) and the per-grid metric rows (what is measured)."""
-    rows = (prune(stats, confidence, support)
+    validated) and the per-grid metric rows (what is measured).
+
+    sampled=True applies the QSE-Approximate relative-support rule
+    (sampling.kept_sampled) instead of the absolute stats.prune — the
+    rule the reference's sampled runs prune with; requires the
+    sampled_*_count columns approx_shape_stats emits (callers null-fill
+    the cardinality columns approx stats do not carry — see
+    sinks.write_reference_outputs)."""
+    if sampled:
+        from .operators.sampling import kept_sampled
+        thresh = stats.filter(kept_sampled(confidence, support))
+    else:
+        thresh = prune(stats, confidence, support)
+    rows = (thresh
             .unionByName(stats.filter(F.col("property") == type_predicate))
             .distinct())
     ns = node_shapes(stats).filter(ns_support_gate(support))
@@ -471,9 +484,12 @@ def read_ttl_shapes(spark, path: str) -> DataFrame:
 def precision_recall(a_keys: DataFrame, b_keys: DataFrame) -> dict:
     """P/R of B against baseline A over arbitrary key DataFrames (same
     schema). Mirrors PrecisionRecallComputer.java:105-141:
-    P = |A∩B|/|B|, R = |A∩B|/|A|."""
-    a = a_keys.distinct().cache()
-    b = b_keys.distinct().cache()
+    P = |A∩B|/|B|, R = |A∩B|/|A|. The key sets are consumed twice
+    (intersect + count); localCheckpoint materializes them without the
+    never-unpersisted cache() leak a repeated-call sweep would pile up
+    (blocks are ContextCleaner-collected when unreachable)."""
+    a = a_keys.distinct().localCheckpoint(eager=True)
+    b = b_keys.distinct().localCheckpoint(eager=True)
     inter = a.intersect(b).count()
     na, nb = a.count(), b.count()
     return {"precision": inter / nb if nb else 1.0,

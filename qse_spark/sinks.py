@@ -185,7 +185,8 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
                             out_dir: str, dataset: str,
                             grid: list[tuple[float, int]] | None = None,
                             type_predicate: str | None = None,
-                            sh_not: bool = True) -> dict[str, str]:
+                            sh_not: bool = True,
+                            sampled: bool = False) -> dict[str, str]:
     """Assemble the reference's whole Output/ directory in one call
     (`Main.java` drives ShapesExtractor.constructDefaultShapes +
     constructPrunedShapes per grid point, then the CSV side outputs):
@@ -206,16 +207,33 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
     but the experiments metrics CSV APPENDS one row per call like the
     reference's writeToFileInAppendMode — re-running into the same
     out_dir accumulates metric rows (delete `<dataset>.csv` first for a
-    fresh log)."""
+    fresh log).
+
+    sampled=True prunes each grid point with the QSE-Approximate
+    relative-support rule (stats must carry the sampled_*_count columns
+    approx_shape_stats emits) so a sampled run's TTLs/metrics keep the
+    shapes the reference's sampled run keeps. sh:not wrappers always
+    use the absolute complement rule (ShapesExtractor.java:386-412 has
+    no sampling adjustment)."""
     from .constants import TYPE_PREDICATE
     from .shapes import (kept_stat_rows, negative_shapes, node_shapes,
-                         property_shapes, pruned_shapes, shape_metrics_df,
+                         ns_support_gate, property_shapes, shape_metrics_df,
                          write_ttl)
 
     tp = type_predicate or TYPE_PREDICATE
     grid = grid if grid is not None else [(0.25, 100), (0.5, 100)]
     os.makedirs(out_dir, exist_ok=True)
     paths: dict[str, str] = {}
+    # approx stats deliberately track support/confidence only — null-fill
+    # the cardinality columns so sampled-mode outputs render (with no
+    # min/maxCount constraints, the approximate pipeline's scope)
+    for c in ("min_count", "max_count"):
+        if c not in stats.columns:
+            stats = stats.withColumn(c, F.lit(None).cast("int"))
+    # this function fans ~4 + 3*len(grid) actions off the stats plan;
+    # materialize it once (same GC-cleaned pattern as validation's
+    # _checkpointed_stats, measured ~10x there)
+    stats = stats.localCheckpoint(eager=True)
 
     full_ttl = os.path.join(out_dir, f"{dataset}_QSE_FULL_SHACL.ttl")
     write_ttl(node_shapes(stats), property_shapes(stats, tp), full_ttl)
@@ -225,16 +243,16 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
                             dataset)
 
     for conf, supp in grid:
-        ns, ps = pruned_shapes(stats, conf, supp, tp)
+        # ONE kept-row spine feeds both the TTL and its metric row, so
+        # the metrics always describe the shapes in the adjacent file
+        kept = kept_stat_rows(stats, conf, supp, tp, sampled=sampled)
+        ns = node_shapes(stats).filter(ns_support_gate(supp))
+        ps = property_shapes(kept, tp)
         neg = negative_shapes(stats, conf, supp, tp) if sh_not else None
         tag = f"QSE_{conf}_{supp}"
         p = os.path.join(out_dir, f"{dataset}_{tag}_SHACL.ttl")
         write_ttl(ns, ps, p, neg_props=neg)
         paths[tag] = p
-        # per-model metric row from THE kept-row spine pruned_shapes
-        # renders — one source of truth, so the metrics always describe
-        # the shapes in the adjacent TTL file
-        kept = kept_stat_rows(stats, conf, supp, tp)
         write_shape_metrics_csv(shape_metrics_df(kept, tp), metrics_csv,
                                 dataset, conf, supp)
     paths["metrics"] = metrics_csv

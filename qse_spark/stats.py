@@ -214,13 +214,20 @@ def shape_stats(triples: DataFrame,
                     "class_count", "confidence", "min_count", "max_count"))
 
 
-def prune(stats: DataFrame, confidence: float, support: int) -> DataFrame:
-    """QSE-Pruned positive filter (ShapesExtractor.java:358-384):
-    keep iff confidence > C and support > S, with >= S when S == 1.
-    Evaluate repeatedly over a cached stats table for a threshold grid."""
+def kept(confidence: float, support: int):
+    """The QSE-Pruned keep PREDICATE (ShapesExtractor.java:358-384):
+    confidence > C and support > S, with >= S when S == 1. THE single
+    statement of the rule — prune and the driver's flag-column rows
+    import it, so the two cannot drift."""
     supp_ok = (F.col("support") >= support) if support == 1 \
         else (F.col("support") > support)
-    return stats.filter((F.col("confidence") > confidence) & supp_ok)
+    return (F.col("confidence") > confidence) & supp_ok
+
+
+def prune(stats: DataFrame, confidence: float, support: int) -> DataFrame:
+    """QSE-Pruned positive filter: rows satisfying kept(C, S).
+    Evaluate repeatedly over a cached stats table for a threshold grid."""
+    return stats.filter(kept(confidence, support))
 
 
 def prune_negative(stats: DataFrame, confidence: float, support: int) -> DataFrame:

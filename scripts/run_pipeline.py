@@ -81,8 +81,12 @@ def main():
         cc = st.select(F.col("class"), F.col("class_count")).distinct()
         grid = [(float(c), int(s)) for c, s in
                 (pair.split(":") for pair in args.grid.split(",") if pair)]
+        # --approx stats carry sampled supports: prune the reference
+        # outputs with the relative-support rule, like the reference's
+        # own sampled runs (sinks.write_reference_outputs sampled=True)
         written = write_reference_outputs(st, cc, args.output_dir,
-                                          args.dataset, grid=grid)
+                                          args.dataset, grid=grid,
+                                          sampled=args.approx)
     print(json.dumps({"shape_stat_rows": n,
                       "elapsed_sec": round(time.time() - t0, 2),
                       "stages": counters, "outputs": written}))

@@ -84,6 +84,13 @@ def test_winnow_twin_matches_spark(spark, texts):
 @example(payload=b"\x89PNG\r\n\x1a\n")            # signature, no IHDR
 @example(payload=b"RIFF\x00\x00\x00\x00WAVE")     # WAVE, no chunks
 @example(payload=b"RIFF\xff\xff\xff\xffWAVEfmt \xff\xff\xff\xff")
+# lying u32 PNG width (0xFFFFFFFF) — must reject, not overflow Int32
+@example(payload=b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+                 b"\xff\xff\xff\xff\x00\x00\x00\x10\x08\x06\x00\x00\x00")
+# lying u32 WAV sample_rate (0x80000000) — must reject
+@example(payload=b"RIFF\x28\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+                 b"\x01\x00\x01\x00\x00\x00\x00\x80\x00\x00\x01\x00"
+                 b"\x02\x00\x10\x00data\x04\x00\x00\x00\x00\x00\x00\x00")
 def test_media_header_parsers_never_crash(payload):
     """_parse_png/_parse_wav must return a tuple or None on ARBITRARY
     bytes — truncated chunks, lying sizes, empty input — never raise
@@ -92,10 +99,15 @@ def test_media_header_parsers_never_crash(payload):
     for parse in (_parse_png, _parse_wav):
         out = parse(payload)
         assert out is None or isinstance(out, tuple)
+        if out is not None:
+            # every header-derived feature must survive the Int32 cast:
+            # lying u32 fields (sample_rate, width, height) are rejected
+            # as corrupt rather than crashing the decode batch
+            assert all(0 <= v < 2 ** 31 for v in out)
     wav = _parse_wav(payload)
     if wav is not None:
         # declared data size is clamped to bytes present, so the frame
-        # count can never exceed the payload (or overflow int32 features)
+        # count can never exceed the payload
         assert wav[2] <= len(payload)
 
 

@@ -84,6 +84,23 @@ def test_reference_output_directory(spark, tmp_path):
     assert len(lines) == 3 and lines[2].startswith("fixture, > 50.0%, > 1,")
 
 
+def test_reference_outputs_sampled_mode(spark, tmp_path):
+    """sampled=True must prune with the relative-support rule over
+    approx stats (sampled_*_count columns) — the absolute rule would
+    throw on missing columns only at analysis time, so assert the TTL
+    actually renders and carries shape rows."""
+    import os
+
+    from qse_spark.operators.sampling import approx_shape_stats
+    from qse_spark.shapes import read_ttl_shapes
+    st = approx_shape_stats(_triples(spark), max_cap=10, target_pct=100.0)
+    cc = class_counts_df(entity_types_df(_triples(spark)))
+    paths = sinks.write_reference_outputs(
+        st, cc, str(tmp_path / "Out"), "fx", grid=[(0.0, 1)], sampled=True)
+    assert os.path.exists(paths["QSE_0.0_1"])
+    assert read_ttl_shapes(spark, paths["QSE_0.0_1"]).count() > 0
+
+
 def test_precision_recall_csv(spark, tmp_path):
     """Reference-format P/R row: exact vs pruned shape sets; pruning only
     removes shapes, so precision must be 1.0 and recall <= 1.0."""
