@@ -30,6 +30,33 @@ def config_hash(obj) -> str:
         json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
 
 
+def input_fingerprint(path: str) -> dict:
+    """Cheap stable fingerprint of an input file/dir: total data bytes +
+    max mtime (+ file count). Hashed into every stage's config so input
+    REGENERATED at the same path invalidates stale checkpoints — hashing
+    only the path string would silently resume against the old corpus
+    (round-3 review finding). Non-local URIs (scheme://) fall back to
+    the path string: remote inputs need versioned paths or an
+    Iceberg-style snapshot id for invalidation."""
+    if "://" in path:
+        return {"uri": path}
+    if not os.path.exists(path):
+        return {"missing": path}
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return {"bytes": st.st_size, "mtime_ns": st.st_mtime_ns}
+    total = mtime = n = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.startswith(("_", ".")):       # markers, manifests, crc
+                continue
+            st = os.stat(os.path.join(root, fn))
+            total += st.st_size
+            mtime = max(mtime, st.st_mtime_ns)
+            n += 1
+    return {"bytes": total, "mtime_ns": mtime, "files": n}
+
+
 def _manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST)
 
