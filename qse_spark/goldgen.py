@@ -178,8 +178,7 @@ def gold_minhash_dedup(docs: list[tuple[int, str]], tau: float = 0.5,
     })
 
 
-def gold_simhash_pairs(docs: list[tuple[int, str]],
-                       hamming: int = 3) -> pa.Table:
+def _simhash_sigs(docs: list[tuple[int, str]]) -> dict[int, int]:
     tok_cache: dict[str, int] = {}
 
     def tok_hash(t: str) -> int:
@@ -206,16 +205,41 @@ def gold_simhash_pairs(docs: list[tuple[int, str]],
             if counts[b] * 2 > n:
                 s |= 1 << b
         sig[did] = s
+    return sig
 
-    ids = sorted(sig)
+
+def gold_simhash_pairs(docs: list[tuple[int, str]],
+                       hamming: int = 3, blocks: int = 4,
+                       max_block: int = 500) -> pa.Table:
+    """Twin of dedup.simhash_dedup, including its scale guards: rotation
+    chunks per nonzero signature, chunks with > max_block members dropped,
+    candidate pairs = docs sharing a surviving chunk, popcount verify.
+    Signature-0 docs never pair (the Spark side excludes them from the
+    block join; clusters group them separately)."""
+    sig = _simhash_sigs(docs)
+    width = 64 // blocks
+    members: dict[tuple[int, int], list[int]] = {}
+    for did in sorted(sig):
+        s = sig[did]
+        if s == 0:
+            continue
+        for b in range(blocks):
+            key = (s >> (b * width)) & ((1 << width) - 1)
+            members.setdefault((b, key), []).append(did)
+    cand: set[tuple[int, int]] = set()
+    for mem in members.values():
+        if len(mem) > max_block:   # over-dense chunks dropped, like Spark
+            continue
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                cand.add((mem[i], mem[j]))
     ia, ib, hm = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            d = (sig[ids[i]] ^ sig[ids[j]]).bit_count()
-            if d <= hamming:
-                ia.append(ids[i])
-                ib.append(ids[j])
-                hm.append(d)
+    for x, y in sorted(cand):
+        d = (sig[x] ^ sig[y]).bit_count()
+        if d <= hamming:
+            ia.append(x)
+            ib.append(y)
+            hm.append(d)
     return pa.table({
         "id_a": pa.array(ia, pa.int64()),
         "id_b": pa.array(ib, pa.int64()),
@@ -225,11 +249,16 @@ def gold_simhash_pairs(docs: list[tuple[int, str]],
 
 def gold_simhash_clusters(docs: list[tuple[int, str]],
                           pairs: pa.Table) -> pa.Table:
-    """Twin of dedup.simhash_dedup_clusters: union-find over the pair graph,
+    """Twin of dedup.simhash_dedup_clusters: union-find over the pair graph
+    plus ONE exact-dup group unioning all signature-0 (token-less) docs,
     keeper = min doc_id per component, singletons self-map."""
     uf = _UnionFind()
     for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
         uf.union(a, b)
+    sig = _simhash_sigs(docs)
+    zero = [d for d in sorted(sig) if sig[d] == 0]
+    for d in zero[1:]:
+        uf.union(zero[0], d)
     keeper: dict[int, int] = {}
     for did, _ in docs:
         root = uf.find(did)
@@ -513,7 +542,7 @@ def gold_winnow(docs: list[tuple[int, str]], k: int = 8,
 
 # ------------------------------------------------------------ orchestration
 
-_GOLD_VERSION = 5
+_GOLD_VERSION = 6
 
 
 def ensure_training_gold(sf_dir: str) -> str:

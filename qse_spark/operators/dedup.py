@@ -208,13 +208,14 @@ def simhash(docs: DataFrame) -> DataFrame:
                     .alias("simhash")))
 
 
-def simhash_dedup(docs: DataFrame, hamming: int = 3,
-                  blocks: int = 4) -> DataFrame:
-    """Near-dup pairs with simhash Hamming distance <= `hamming`, using the
-    standard block-rotation trick: split the 64-bit signature into `blocks`
-    chunks — any pair within distance `hamming` < blocks shares at least one
-    exact chunk (pigeonhole) — equi-join per chunk, verify popcount."""
-    sig = simhash(docs)
+def _simhash_chunk_keys(sig: DataFrame, blocks: int) -> DataFrame:
+    """(doc_id, simhash, blk, key): `blocks` rotation chunks per NONZERO
+    signature. Signature-0 docs (token-less text — and crawled corpora are
+    full of them) are excluded here: they would share ALL chunk keys with
+    each other, turning the block self-join quadratic in the empty-doc
+    count (round-3 verdict item 1). They are handled as one exact-dup
+    group by simhash_dedup_clusters instead."""
+    sig = sig.filter(F.col("simhash") != 0)
     width = 64 // blocks
     chunks = []
     for b in range(blocks):
@@ -225,6 +226,39 @@ def simhash_dedup(docs: DataFrame, hamming: int = 3,
     keys = chunks[0]
     for c in chunks[1:]:
         keys = keys.unionByName(c)
+    return keys
+
+
+def dropped_chunk_report(docs: DataFrame, blocks: int = 4,
+                         max_block: int = 500) -> DataFrame:
+    """(blk, key, n) for simhash rotation chunks the `max_block` cap drops
+    from simhash_dedup — dropped blocks must be observable, never silent
+    (same contract as dropped_shingle_report / similarity's
+    dropped_bucket_report). Signature-0 (token-less) docs never enter the
+    chunk join; count them with simhash(docs).filter("simhash = 0")."""
+    keys = _simhash_chunk_keys(simhash(docs), blocks)
+    return (keys.groupBy("blk", "key").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_block))
+
+
+def simhash_dedup(docs: DataFrame, hamming: int = 3,
+                  blocks: int = 4, max_block: int = 500) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance <= `hamming`, using the
+    standard block-rotation trick: split the 64-bit signature into `blocks`
+    chunks — any pair within distance `hamming` < blocks shares at least one
+    exact chunk (pigeonhole) — equi-join per chunk, verify popcount.
+
+    Scale guards (round-3 verdict item 1): chunks shared by more than
+    `max_block` docs are dropped before the self-join (boilerplate text
+    makes hot chunks quadratic; inspect drops with dropped_chunk_report),
+    and signature-0 docs are excluded entirely — emitting their pairwise
+    matches is O(empty_docs²) OUTPUT by definition, which no cap fixes.
+    Use simhash_dedup_clusters for the keeper contract that still groups
+    them (linearly, as one exact-dup cluster)."""
+    keys = _simhash_chunk_keys(simhash(docs), blocks)
+    cnt = keys.groupBy("blk", "key").agg(F.count("*").alias("bn"))
+    keys = (keys.join(cnt, ["blk", "key"]).filter(F.col("bn") <= max_block)
+            .drop("bn"))
     a = keys.select("blk", "key", F.col("doc_id").alias("id_a"),
                     F.col("simhash").alias("sh_a"))
     b = keys.select("blk", "key", F.col("doc_id").alias("id_b"),
@@ -236,12 +270,23 @@ def simhash_dedup(docs: DataFrame, hamming: int = 3,
 
 
 def simhash_dedup_clusters(docs: DataFrame, hamming: int = 3,
-                           blocks: int = 4) -> DataFrame:
+                           blocks: int = 4,
+                           max_block: int = 500) -> DataFrame:
     """(doc_id, keeper_id) — near-dup clusters from the simhash pair graph
     (connected components, keeper = numeric min doc_id per component,
     singletons map to themselves) — the same keeper contract as
     minhash_dedup, so either dedup family drops into the same downstream
-    filter."""
-    return _cc_keeper_clusters(docs,
-                               simhash_dedup(docs, hamming=hamming,
-                                             blocks=blocks))
+    filter.
+
+    Signature-0 docs (excluded from the pair join, see simhash_dedup) are
+    still clustered: all of them form ONE exact-dup group via a linear
+    star of edges to their min doc_id — O(empty_docs) edges instead of
+    the O(empty_docs²) pairs the uncapped join used to materialize."""
+    pairs = simhash_dedup(docs, hamming=hamming, blocks=blocks,
+                          max_block=max_block).select("id_a", "id_b")
+    zdocs = simhash(docs).filter(F.col("simhash") == 0).select("doc_id")
+    zmin = zdocs.agg(F.min("doc_id").alias("id_a"))
+    star = (zdocs.crossJoin(F.broadcast(zmin))
+            .filter(F.col("doc_id") != F.col("id_a"))
+            .select("id_a", F.col("doc_id").alias("id_b")))
+    return _cc_keeper_clusters(docs, pairs.unionByName(star))

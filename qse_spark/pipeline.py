@@ -46,6 +46,8 @@ class PipelineConfig:
     approx_target_pct: float = 100.0
     approx_seed: int = 100
     approx_bully: bool = False
+    # canonical-dictionary broadcast guard (None = always broadcast)
+    max_broadcast_rows: int | None = 5_000_000
 
 
 def group_triples(triples: DataFrame) -> DataFrame:
@@ -63,20 +65,34 @@ def group_triples(triples: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("cnt")))
 
 
-def canonicalize_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+def canonicalize_triples(triples: DataFrame, cmap: DataFrame,
+                         max_broadcast_rows: int | None = 5_000_000
+                         ) -> DataFrame:
     """Stage 4 — rewrite subject/object mentions to canonical ids and
     materialize distinct (subject, predicate, object, obj_kind) + cnt.
 
-    Both joins broadcast the canonical dictionary; class labels / literals
-    miss the dictionary and pass through via coalesce (identity mapping).
-    Accepts either raw triples or the pre-aggregated output of
-    group_triples (cnt column = multiplicity weight); pre-aggregating
-    first keeps the joins vocabulary-sized."""
+    The canonical dictionary is broadcast ONLY while it fits: at the
+    10^12-turn target "distinct mentions" is plausibly billions of rows,
+    where an unconditional broadcast hint is a driver OOM / broadcast
+    timeout, not a slow plan (round-3 verdict item 2). Above
+    `max_broadcast_rows` the hint is dropped and AQE/Catalyst pick the
+    join (shuffled hash / sort-merge, or still broadcast if bytes allow).
+    The guard costs one count over the vocabulary-sized dictionary —
+    negligible next to the join it protects; pass None to skip the count
+    and force the broadcast hint when the size is known-small.
+
+    Class labels / literals miss the dictionary and pass through via
+    coalesce (identity mapping). Accepts either raw triples or the
+    pre-aggregated output of group_triples (cnt column = multiplicity
+    weight); pre-aggregating first keeps the joins vocabulary-sized."""
     w = F.col("cnt") if "cnt" in triples.columns else F.lit(1)
     triples = triples.withColumn("_w", w.cast("long"))
-    s_map = F.broadcast(cmap.select(
+    bcast = (max_broadcast_rows is None
+             or cmap.count() <= max_broadcast_rows)
+    hint = F.broadcast if bcast else (lambda df: df)
+    s_map = hint(cmap.select(
         F.col("mention_id").alias("_sm"), F.col("canonical_id").alias("_sc")))
-    o_map = F.broadcast(cmap.select(
+    o_map = hint(cmap.select(
         F.col("mention_id").alias("_om"), F.col("canonical_id").alias("_oc")))
     out = (triples
            .join(s_map, triples["subject"] == s_map["_sm"], "left")
@@ -99,6 +115,9 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
     cfg = config or PipelineConfig()
     c = asdict(cfg)
     transcripts = spark.read.parquet(transcripts_path)
+    # content fingerprint, not just the path string: input REGENERATED at
+    # the same path must invalidate stale checkpoints (round-3 review)
+    input_fp = ckpt.input_fingerprint(transcripts_path)
 
     # each stage hashes ONLY the config fields it consumes (plus the
     # upstream hash chain): toggling a last-stage knob like approx must
@@ -107,7 +126,8 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
         if workdir is None:
             return thunk(), upstream_hash
         h = ckpt.config_hash([name, upstream_hash,
-                              {k: c[k] for k in fields}, transcripts_path])
+                              {k: c[k] for k in fields},
+                              transcripts_path, input_fp])
         return ckpt.stage(spark, os.path.join(workdir, name), name, h, thunk,
                           counters), h
 
@@ -123,8 +143,10 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
             scorer=cfg.scorer))
     cmap, h4 = _stage("canonical_map", h3, [],
                       lambda: canonical_map(links))
-    canon, h5 = _stage("canonical_triples", h4, [],
-                       lambda: canonicalize_triples(groups, cmap))
+    canon, h5 = _stage("canonical_triples", h4, ["max_broadcast_rows"],
+                       lambda: canonicalize_triples(
+                           groups, cmap,
+                           max_broadcast_rows=cfg.max_broadcast_rows))
     # the canonical table's cnt column feeds the kernel as a multiplicity
     # weight — no re-expansion of duplicate triples
     def _final_stats():

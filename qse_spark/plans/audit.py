@@ -29,6 +29,7 @@ def plan_summary(df: DataFrame) -> dict:
         "exchanges": nodes(s, "Exchange"),
         "broadcast_joins": nodes(s, "BroadcastHashJoin"),
         "sortmerge_joins": nodes(s, "SortMergeJoin"),
+        "shuffledhash_joins": nodes(s, "ShuffledHashJoin"),
         "pushed_filters": "PushedFilters: [" in s
                           and "PushedFilters: []" not in s,
     }

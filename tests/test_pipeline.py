@@ -70,6 +70,29 @@ def test_resume_after_mid_pipeline_kill(spark, fixture_dir, pipe):
     assert sorted(map(tuple, out2["canonical_triples"].collect())) == before
 
 
+def test_input_regeneration_invalidates(spark, fixture_dir, tmp_path):
+    """Regenerating the corpus AT THE SAME PATH must invalidate every
+    checkpoint: the stage hash covers the input's content fingerprint
+    (bytes + mtime), not just the path string (round-3 review finding —
+    hashing only the path silently resumed against the old corpus)."""
+    import os
+    src = f"{fixture_dir}/transcripts.parquet"
+    dst = str(tmp_path / "transcripts.parquet")
+    shutil.copy(src, dst)
+    wd = str(tmp_path / "wd")
+    run_pipeline(spark, dst, workdir=wd)
+    # same content, same mtime -> full resume
+    counters = []
+    run_pipeline(spark, dst, workdir=wd, counters=counters)
+    assert all(c["resumed"] for c in counters)
+    # "regenerate" the input in place (content-identical, new mtime):
+    # every stage must recompute
+    os.utime(dst, None)
+    counters = []
+    run_pipeline(spark, dst, workdir=wd, counters=counters)
+    assert not any(c["resumed"] for c in counters)
+
+
 def test_config_change_invalidates(spark, fixture_dir, pipe):
     _, wd, _ = pipe
     counters = []

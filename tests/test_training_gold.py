@@ -117,6 +117,36 @@ def test_simhash_empty_doc_signature_zero(spark):
     assert rows[2] == 0 and rows[3] == 0 and rows[1] != 0
 
 
+def test_simhash_empty_docs_bounded(spark):
+    """N token-less docs (all signature 0) must produce ZERO pairs from
+    simhash_dedup (they used to collide on every chunk key — O(N²) pairs)
+    and ONE linear exact-dup cluster from simhash_dedup_clusters."""
+    rows = [(i, "") for i in range(20)] + [(100, "real text content here"),
+                                           (101, "real text content here")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.simhash_dedup(d, hamming=3).collect()
+    assert all(p["id_a"] >= 100 for p in pairs)   # no empty-doc pairs
+    m = {r["doc_id"]: r["keeper_id"]
+         for r in dedup.simhash_dedup_clusters(d, hamming=3).collect()}
+    assert all(m[i] == 0 for i in range(20))      # one group, keeper=min
+    assert m[100] == 100 and m[101] == 100
+
+
+def test_simhash_chunk_cap_drops_hot_block(spark):
+    """Chunks denser than max_block are dropped (and observable in
+    dropped_chunk_report) — identical docs all share all 4 chunk keys, so
+    a max_block below the group size must suppress their pairs."""
+    d = spark.createDataFrame(
+        [(i, "same boilerplate text for everyone") for i in range(8)]
+        + [(50, "something else entirely unrelated words")],
+        ["doc_id", "text"])
+    assert dedup.simhash_dedup(d, hamming=3, max_block=4).count() == 0
+    rep = dedup.dropped_chunk_report(d, max_block=4).collect()
+    assert len(rep) == 4 and all(r["n"] == 8 for r in rep)
+    # cap above the group size: all 28 pairs come back
+    assert dedup.simhash_dedup(d, hamming=3, max_block=500).count() == 28
+
+
 def test_dropped_shingle_report(spark):
     d = spark.createDataFrame(
         [(i, "common boiler plate unique%d tail" % i) for i in range(6)],
