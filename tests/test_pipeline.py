@@ -70,6 +70,41 @@ def test_resume_after_mid_pipeline_kill(spark, fixture_dir, pipe):
     assert sorted(map(tuple, out2["canonical_triples"].collect())) == before
 
 
+def test_pipeline_leaves_no_cached_rdds(spark, fixture_dir, tmp_path):
+    """Operator-internal caches must not outlive the pipeline run: all
+    vocabulary-sized intermediates are eager localCheckpoints whose blocks
+    the ContextCleaner releases once unreferenced (the round-3 verdict
+    found a pre-coalesce persist handle in linking_edges pinned until
+    session end). Assert the persistent-RDD count drains back to the
+    pre-run level after dropping the result and forcing GC."""
+    import gc
+    import time
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # drain anything earlier tests left unreferenced, then snapshot
+    for _ in range(30):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+        before = n_persistent()
+        if before == 0:
+            break
+    out = run_pipeline(spark, f"{fixture_dir}/transcripts.parquet",
+                       workdir=str(tmp_path / "wd"))
+    out["shape_stats"].count()
+    del out
+    for _ in range(30):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if n_persistent() <= before:
+            break
+        time.sleep(1)
+    assert n_persistent() <= before, \
+        f"{n_persistent()} persistent RDDs linger (pre-run: {before})"
+
+
 def test_input_regeneration_invalidates(spark, fixture_dir, tmp_path):
     """Regenerating the corpus AT THE SAME PATH must invalidate every
     checkpoint: the stage hash covers the input's content fingerprint

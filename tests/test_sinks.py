@@ -44,6 +44,28 @@ def test_shape_support_psv_roundtrip(spark, tmp_path):
     assert all(len(r) == 5 for r in got)
 
 
+def test_shape_support_psv_sampled_emits_sampled_count(spark, tmp_path):
+    """In sampled mode the reference's last PSV column is
+    sampledEntitiesPerClass.get(...).size() (Utility.java:104) — the
+    SAMPLED class size, not the full count approx_shape_stats keeps in
+    class_count for confidence adjustment."""
+    from qse_spark.operators.sampling import approx_shape_stats
+    st = approx_shape_stats(_triples(spark), max_cap=1, target_pct=100.0)
+    p = sinks.write_shape_support_psv(st, str(tmp_path / "props.psv"))
+    with open(p) as f:
+        got = [ln.rstrip("\n").split("|") for ln in f]
+    exp = sorted(
+        (r["class"], r["property"], r["obj_type"], str(r["support"]),
+         str(r["sampled_class_count"] if r["sampled_class_count"]
+             is not None else r["class_count"]))
+        for r in st.collect())
+    assert [tuple(r) for r in got] == exp
+    # max_cap=1 actually bites: at least one sampled size < full count
+    assert any(r["sampled_class_count"] is not None
+               and r["sampled_class_count"] < r["class_count"]
+               for r in st.collect())
+
+
 def test_shape_metrics_csv_appends_grid(spark, tmp_path):
     from qse_spark.shapes import shape_metrics_df
     st = shape_stats(_triples(spark))
