@@ -440,6 +440,64 @@ def write_ttl(nodes: DataFrame, props: DataFrame, path: str,
     txt.write.mode("overwrite").text(path)
 
 
+def _parse_ttl_shape_doc(doc: str) -> list[tuple[str, str, str]]:
+    """(kind, shape, key) rows from one shapes TTL document. Handles both
+    this engine's emitted form (full <IRI>s, standalone `a sh:PropertyShape`
+    statements) and the reference's hand/RDF4J-formatted form
+    (@prefix-resolved pnames, predicates in any order, inline blank-node
+    `sh:property [ sh:path ... ]` groups — e.g.
+    /root/reference/validation/example/example_shapes.ttl). Blank-node
+    property shapes get the synthetic id `_:<enclosing shape>/<path>`
+    (Turtle gives them no stable name; the key column is what P/R needs)."""
+    import re as _re
+
+    from .sources.turtle import ttl_statements as _ttl_statements
+
+    prefixes = dict(_re.findall(
+        r"@prefix\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.", doc))
+
+    def term(tok: str) -> str:
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if ":" in tok:
+            p, local = tok.split(":", 1)
+            if p in prefixes:
+                return prefixes[p] + local
+        return tok
+
+    sh_ns = "http://www.w3.org/ns/shacl#"
+    iri_or_pname = r"(<[^>]+>|[A-Za-z][\w.-]*:[\w.-]+)"
+    tc_re = _re.compile(r"sh:targetClass\s+" + iri_or_pname)
+    path_re = _re.compile(r"sh:path\s+" + iri_or_pname)
+    prop_re = _re.compile(r"sh:property\s+\[")
+    rows = []
+    for stmt in _ttl_statements(doc):
+        if stmt.startswith("@prefix"):
+            continue
+        m = _re.match(iri_or_pname, stmt)
+        if not m:
+            continue
+        subj = term(m.group(1))
+        types = {term(t) for t in
+                 _re.findall(r"\ba\s+" + iri_or_pname, stmt)}
+        if sh_ns + "NodeShape" in types:
+            for t in tc_re.findall(stmt):
+                rows.append(("NS", subj, term(t)))
+            # inline blank-node property shapes: [ ... sh:path X ... ]
+            for pm in prop_re.finditer(stmt):
+                i, depth = pm.end(), 1
+                while i < len(stmt) and depth:
+                    depth += {"[": 1, "]": -1}.get(stmt[i], 0)
+                    i += 1
+                body = stmt[pm.end():i - 1]
+                for t in path_re.findall(body):
+                    rows.append(("PS", f"_:{subj}/{term(t)}", term(t)))
+        if sh_ns + "PropertyShape" in types:
+            for t in path_re.findall(stmt):
+                rows.append(("PS", subj, term(t)))
+    return rows
+
+
 def read_ttl_shapes(spark, path: str) -> DataFrame:
     """Parse a shapes TTL (as emitted by write_ttl, or the reference's
     formatter for the same subset) back into shape-key rows:
@@ -450,27 +508,20 @@ def read_ttl_shapes(spark, path: str) -> DataFrame:
     input files via SPARQL (query_node_shapes.txt / query_property_shapes
     .txt) before computing P/R — so precision_recall(read_ttl_shapes(A),
     read_ttl_shapes(B)) compares this engine's output against a
-    reference-emitted .ttl directly. Parsing is Arrow-batched per shard
-    (shards are whole Turtle documents; shape sets are vocabulary-sized)."""
-    import re as _re
-
+    reference-emitted .ttl directly (prefixed names and inline blank-node
+    property shapes included — see _parse_ttl_shape_doc). Parsing is
+    Arrow-batched per shard (shards are whole Turtle documents; shape sets
+    are vocabulary-sized)."""
     import pandas as _pd
     from pyspark.sql.types import StringType, StructField, StructType
 
     raw = spark.read.text(path, wholetext=True)
-    ns_re = _re.compile(
-        r"<([^>]+)>\s+a\s+sh:NodeShape\s*;\s*\n\s*sh:targetClass\s+<([^>]+)>")
-    ps_re = _re.compile(
-        r"<([^>]+)>\s+a\s+sh:PropertyShape\s*;\s*\n\s*sh:path\s+<([^>]+)>")
 
     def _parse(batches):
         for pdf in batches:
             rows = []
             for doc in pdf["value"]:
-                for m in ns_re.finditer(doc):
-                    rows.append(("NS", m.group(1), m.group(2)))
-                for m in ps_re.finditer(doc):
-                    rows.append(("PS", m.group(1), m.group(2)))
+                rows.extend(_parse_ttl_shape_doc(doc))
             yield _pd.DataFrame(rows, columns=["kind", "shape", "key"])
 
     schema = StructType([StructField("kind", StringType()),

@@ -1,0 +1,204 @@
+"""Turtle-subset source: parse .ttl documents into the same
+(subject, predicate, object, obj_kind) contract as read_ntriples.
+
+The reference consumes its corpus as line-oriented N-Triples
+(`Parser.java:78-90`) but ships Turtle artifacts for validation
+(`/root/reference/validation/example/example_data.ttl`,
+`example_shapes.ttl`) and emits Turtle shapes
+(`TurtlePrettyFormatter.java`) — this reader is what lets the engine load
+those files directly. It is a deliberate SUBSET: @prefix resolution,
+`;`/`,` predicate-object lists, typed/lang literals, bare numeric and
+boolean literals, `a` as rdf:type. No collections-as-objects at the data
+level, no nested blank-node OBJECTS (they are skipped with a counter
+column, never silently mangled), no triple-quoted strings.
+
+Scale note: Turtle is not line-splittable, so each FILE is one parse task
+(wholetext + mapInPandas). That is the right trade for what Turtle holds
+here — vocabulary-sized shape/validation documents; a 100 TB corpus
+arrives as N-Triples shards or parquet, never as one .ttl.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_PNAME = r"[A-Za-z][\w.-]*:[\w.-]*"
+_IRI_OR_PNAME = re.compile(r"^(?:<([^>]*)>|(" + _PNAME + r"))$")
+_LITERAL = re.compile(
+    r'^"((?:[^"\\]|\\.)*)"'                      # quoted body (ECHAR-aware)
+    r"(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)"         # @lang
+    r"|\^\^(?:<([^>]*)>|(" + _PNAME + r")))?$")  # ^^<dt> | ^^p:dt
+_ECHAR = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+
+_INT_KINDS = {"int", "integer", "long", "short", "nonnegativeinteger",
+              "decimal"}
+_DATE_KINDS = {"date", "datetime", "gyear"}
+
+
+def ttl_statements(doc: str) -> list[str]:
+    """Split a Turtle document into top-level statements: a '.' terminates
+    a statement only at bracket depth 0, outside <IRI> and "string" tokens,
+    and when followed by whitespace/EOF (so decimals never split)."""
+    out, start, depth = [], 0, 0
+    in_iri = in_str = esc = False
+    for i, ch in enumerate(doc):
+        if in_iri:
+            in_iri = ch != ">"
+        elif in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            else:
+                in_str = ch != '"'
+        elif ch == "<":
+            in_iri = True
+        elif ch == '"':
+            in_str = True
+        elif ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif (ch == "." and depth == 0
+              and (i + 1 == len(doc) or doc[i + 1].isspace())):
+            stmt = doc[start:i].strip()
+            if stmt:
+                out.append(stmt)
+            start = i + 1
+    tail = doc[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on `sep` at bracket depth 0, outside <IRI>/"string" tokens."""
+    out, start, depth = [], 0, 0
+    in_iri = in_str = esc = False
+    for i, ch in enumerate(s):
+        if in_iri:
+            in_iri = ch != ">"
+        elif in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            else:
+                in_str = ch != '"'
+        elif ch == "<":
+            in_iri = True
+        elif ch == '"':
+            in_str = True
+        elif ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+def _unescape(s: str) -> str:
+    # sequential scan: an escaped backslash never re-triggers (same
+    # contract as read_ntriples' segment unescape)
+    return re.sub(r"\\[\\\"nrt]", lambda m: _ECHAR[m.group(0)], s)
+
+
+def parse_turtle_doc(doc: str) -> tuple[list[tuple], int]:
+    """One Turtle document -> ([(subject, predicate, object, obj_kind)],
+    skipped_object_count). Pure function (unit-testable without Spark)."""
+    prefixes = dict(
+        (p or "", iri) for p, iri in
+        re.findall(r"@prefix\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.", doc))
+
+    def resolve(tok: str) -> str | None:
+        m = _IRI_OR_PNAME.match(tok)
+        if not m:
+            return None
+        if m.group(1) is not None:
+            return m.group(1)
+        p, local = m.group(2).split(":", 1)
+        base = prefixes.get(p)
+        return base + local if base is not None else m.group(2)
+
+    rows, skipped = [], 0
+    for stmt in ttl_statements(doc):
+        if stmt.startswith(("@prefix", "@base", "PREFIX", "BASE")):
+            continue
+        parts = stmt.split(None, 1)
+        if len(parts) < 2:
+            continue
+        subj = resolve(parts[0])
+        if subj is None:
+            skipped += 1          # blank-node subject or unsupported form
+            continue
+        for po in _split_top(parts[1], ";"):
+            toks = po.split(None, 1)
+            if len(toks) < 2:
+                continue
+            pred = (RDF_TYPE if toks[0] == "a" else resolve(toks[0]))
+            if pred is None:
+                skipped += 1
+                continue
+            for obj_tok in _split_top(toks[1], ","):
+                parsed = _parse_object(obj_tok, resolve)
+                if parsed is None:
+                    skipped += 1
+                    continue
+                rows.append((subj, pred, *parsed))
+    return rows, skipped
+
+
+def _parse_object(tok: str, resolve) -> tuple[str, str] | None:
+    iri = resolve(tok)
+    if iri is not None:
+        return iri, "iri"
+    m = _LITERAL.match(tok)
+    if m:
+        body = _unescape(m.group(1))
+        if m.group(2):                       # @lang
+            return f"{body}@{m.group(2)}", "langString"
+        dt = m.group(3) or m.group(4) or ""
+        local = dt.rsplit("#", 1)[-1].rsplit(":", 1)[-1].lower()
+        if local in _INT_KINDS:
+            return body, "integer"
+        if local in _DATE_KINDS:
+            return body, "date"
+        return body, "string"
+    if re.match(r"^[+-]?\d+$", tok):
+        return tok, "integer"
+    if re.match(r"^[+-]?(\d+\.\d*|\.\d+)$", tok):
+        return tok, "integer"                # decimal, same kind as NT reader
+    if tok in ("true", "false"):
+        return tok, "string"
+    return None                              # blank node / collection object
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    """Parse Turtle file(s) into (subject, predicate, object, obj_kind) —
+    the read_ntriples contract, so everything downstream (stats kernel,
+    shapes, validation) consumes reference-shaped .ttl data unchanged."""
+    raw = spark.read.text(path, wholetext=True)
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for doc in pdf["value"]:
+                r, _ = parse_turtle_doc(doc)
+                rows.extend(r)
+            yield pd.DataFrame(
+                rows, columns=["subject", "predicate", "object", "obj_kind"])
+
+    schema = StructType([StructField("subject", StringType()),
+                         StructField("predicate", StringType()),
+                         StructField("object", StringType()),
+                         StructField("obj_kind", StringType())])
+    return raw.mapInPandas(_parse, schema)

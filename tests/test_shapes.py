@@ -236,3 +236,76 @@ def test_positive_and_negative_shapes_share_one_ttl(spark, tmp_path):
     subjects = re.findall(r"<([^>]+)> a sh:(?:PropertyShape|NodeShape)", body)
     assert len(subjects) == len(set(subjects)), sorted(subjects)
     assert any(s.endswith("pANegShapeProperty") for s in subjects)
+
+
+REF_EXAMPLE = "/root/reference/validation/example"
+SCHEMA = "http://schema.org/"
+
+
+def test_reference_ttl_shape_keys(spark):
+    """Cross-implementation parity: the only genuinely reference-emitted
+    SHACL artifact in the tree (validation/example/example_shapes.ttl,
+    consumed by QseSHACLValidator.java:70-134) parses into exactly the
+    NS target / PS path key sets the file declares — prefixed names and
+    inline blank-node property shapes included."""
+    from qse_spark.shapes import read_ttl_shapes
+    keys = read_ttl_shapes(spark, f"{REF_EXAMPLE}/example_shapes.ttl")
+    ns = {(r["shape"], r["key"]) for r in
+          keys.filter(F.col("kind") == "NS").collect()}
+    assert ns == {(f"{SCHEMA}PersonShape", f"{SCHEMA}Person")}
+    ps = {r["key"] for r in keys.filter(F.col("kind") == "PS").collect()}
+    assert ps == {f"{SCHEMA}{p}" for p in
+                  ("givenName", "birthDate", "gender", "address",
+                   "streetAddress", "postalCode")}
+
+
+def test_reference_ttl_data_through_kernel(spark):
+    """example_data.ttl loads through the Turtle source and the stats
+    kernel computes the hand-checkable statistics: 2 Persons, givenName
+    support 1 / confidence 0.5, address resolving to the undefined
+    object-type sentinel — and the extracted shapes validate their own
+    corpus cleanly after pruning the low-confidence property."""
+    from qse_spark.constants import LITERAL_DATATYPES
+    from qse_spark.sources import read_turtle
+    from qse_spark.sources.turtle import RDF_TYPE
+    from qse_spark.validation import validation_report
+    t = read_turtle(spark, f"{REF_EXAMPLE}/example_data.ttl")
+    assert t.count() == 13
+    st = shape_stats(t, type_predicate=RDF_TYPE)
+    rows = {(r["class"], r["property"], r["obj_type"]): r
+            for r in st.collect()}
+    g = rows[(f"{SCHEMA}Person", f"{SCHEMA}givenName",
+              LITERAL_DATATYPES["string"])]
+    assert g["support"] == 1 and g["class_count"] == 2
+    assert g["confidence"] == 0.5 and g["min_count"] is None
+    a = rows[(f"{SCHEMA}Person", f"{SCHEMA}address", UNDEFINED_OBJECT_TYPE)]
+    assert a["support"] == 2 and a["min_count"] == 1 and a["max_count"] == 1
+    b = rows[(f"{SCHEMA}Person", f"{SCHEMA}birthDate",
+              LITERAL_DATATYPES["date"])]
+    assert b["confidence"] == 1.0
+    rep = validation_report(t, 0.6, 1, type_predicate=RDF_TYPE)
+    assert rep.count() == 0
+
+
+def test_parse_turtle_doc_edge_cases():
+    """Pure-parser unit: decimal dots never split statements, lang and
+    typed literals map to the N-Triples reader's obj_kind labels, blank
+    node objects are skipped and counted (never silently mangled)."""
+    from qse_spark.sources.turtle import parse_turtle_doc
+    doc = """@prefix ex: <http://ex.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:a ex:score 0.25 ;
+     ex:label "hi"@es-419 , "x\\"y" ;
+     ex:when "2020-01-01"^^xsd:date ;
+     ex:blank [ ex:inner 1 ] ;
+     a ex:Thing .
+"""
+    rows, skipped = parse_turtle_doc(doc)
+    got = {(r[1], r[2], r[3]) for r in rows}
+    assert ("http://ex.org/score", "0.25", "integer") in got
+    assert ("http://ex.org/label", "hi@es-419", "langString") in got
+    assert ("http://ex.org/label", 'x"y', "string") in got
+    assert ("http://ex.org/when", "2020-01-01", "date") in got
+    assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://ex.org/Thing", "iri") in got
+    assert skipped == 1 and len(rows) == 5
