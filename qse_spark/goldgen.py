@@ -398,10 +398,11 @@ def gold_mm_features(docs: list[tuple[int, str]]) -> pa.Table:
 def gold_mm_real(doc_ids: list[int]) -> pa.Table:
     """Twin of decode_media(fake=False) over synth_media payloads: every
     decoded feature is predicted straight from the synth formula (even id
-    -> PNG of 16+i%512 x 16+7i%512, odd -> WAV of 1+i%2 channels at
-    8000+(i%5)*1000 Hz with 100+i%400 frames) — no parsing, so a header
-    mis-parse on the Spark side cannot be mirrored here. Byte counts /
-    CRCs come from an independent re-synthesis of the same byte spec."""
+    -> PNG of 16+i%512 x 16+7i%512, i%4==3 -> JPEG of 16+3i%512 x
+    16+5i%512, i%4==1 -> WAV of 1+i%2 channels at 8000+(i%5)*1000 Hz with
+    100+i%400 frames) — no parsing, so a header mis-parse on the Spark
+    side cannot be mirrored here. Byte counts / CRCs come from an
+    independent re-synthesis of the same byte spec."""
     mid, kind, fmt, nb, crc = [], [], [], [], []
     w, h, ch, sr, nf = [], [], [], [], []
     png_sig = bytes([0x89]) + b"PNG" + bytes([0x0D, 0x0A, 0x1A, 0x0A])
@@ -414,6 +415,21 @@ def gold_mm_real(doc_ids: list[int]) -> pa.Table:
                     + bytes([8, 6, 0, 0, 0]) + bytes(4)
                     + (0).to_bytes(4, "big") + b"IEND" + bytes(4))
             kind.append("image"); fmt.append("png")
+            w.append(wi); h.append(hi)
+            ch.append(None); sr.append(None); nf.append(1)
+        elif i % 4 == 3:
+            wi, hi = 16 + (i * 3) % 512, 16 + (i * 5) % 512
+            sof = 0xC2 if i % 8 == 7 else 0xC0
+            body = (bytes([0xFF, 0xD8, 0xFF, 0xE0]) + (16).to_bytes(2, "big")
+                    + b"JFIF" + bytes([0, 1, 1, 0])
+                    + (1).to_bytes(2, "big") + (1).to_bytes(2, "big")
+                    + bytes([0, 0])
+                    + bytes([0xFF, sof]) + (17).to_bytes(2, "big")
+                    + bytes([8]) + hi.to_bytes(2, "big")
+                    + wi.to_bytes(2, "big")
+                    + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+                    + bytes([0xFF, 0xD9]))
+            kind.append("image"); fmt.append("jpeg")
             w.append(wi); h.append(hi)
             ch.append(None); sr.append(None); nf.append(1)
         else:
@@ -515,6 +531,81 @@ def gold_ivf_topk(vec_ids, embs, k: int = 10, n_centroids: int = 16,
     })
 
 
+def gold_tfidf_pairs(docs: list[tuple[int, str]], tau: float = 0.9,
+                     max_df: int = 10000,
+                     min_margin: float = 1e-12) -> pa.Table:
+    """Twin of linking.tfidf_cosine_pairs over a documents table:
+    underscore/space tokens, w = tf * (1 + ln((N+1)/(df+1))) with N = ALL
+    docs, df-capped stopword drop, L2-normalized cosine, pairs >= tau.
+
+    Replaces the round-3 DuckDB float-SQL oracle (VERDICT r3 wrong-list
+    #4): two SQL engines' SUM orders straddling tau or a ROUND midpoint
+    would flake the driver row silently. Here the expected cosines are
+    computed ONCE in numpy float64, and generation FAILS LOUDLY if any
+    candidate pair sits within `min_margin` of tau or any kept pair
+    within `min_margin` of a 6th-decimal rounding midpoint — a
+    regenerated corpus that lands on a knife-edge becomes a visible
+    error, never a flaky compare. (Cross-engine sum-order error is
+    ~1e-15: the 1e-12 guard is 1000x above it while random cosines hit
+    the guard band with probability ~2e-6 per pair.)"""
+    import re as _re
+
+    ids = sorted(d for d, _ in docs)
+    text = dict(docs)
+    n = len(ids)
+    tf: list[dict[str, int]] = []
+    df: dict[str, int] = {}
+    for did in ids:
+        cnt: dict[str, int] = {}
+        for t in _re.split(r"[_\s]+", text[did]):
+            if t:
+                cnt[t] = cnt.get(t, 0) + 1
+        tf.append(cnt)
+        for t in cnt:
+            df[t] = df.get(t, 0) + 1
+    vocab = sorted(t for t, d in df.items() if d <= max_df)
+    col = {t: j for j, t in enumerate(vocab)}
+    idf = np.array([1.0 + np.log((n + 1.0) / (df[t] + 1.0))
+                    for t in vocab])
+    W = np.zeros((n, len(vocab)))
+    for i, cnt in enumerate(tf):
+        for t, c in cnt.items():
+            if t in col:
+                W[i, col[t]] = c * idf[col[t]]
+    norms = np.sqrt((W * W).sum(axis=1))
+    U = W / np.where(norms == 0.0, 1.0, norms)[:, None]
+    ia, ib, cs = [], [], []
+    block = 2048
+    for s in range(0, n, block):
+        C = U[s:s + block] @ U.T                      # block × n cosines
+        for bi in range(C.shape[0]):
+            i = s + bi
+            row = C[bi]
+            for j in np.nonzero(row > tau - 1e-6)[0]:  # margin audit band
+                if j <= i:
+                    continue
+                c = float(row[j])
+                if abs(c - tau) < min_margin:
+                    raise ValueError(
+                        f"pair ({ids[i]},{ids[int(j)]}) cosine {c!r} within "
+                        f"{min_margin} of tau={tau}: fixture is flaky")
+                if c < tau:
+                    continue
+                if abs((c * 1e6) % 1.0 - 0.5) < min_margin * 1e6:
+                    raise ValueError(
+                        f"pair ({ids[i]},{ids[int(j)]}) cosine {c!r} on a "
+                        "round(6) midpoint: fixture is flaky")
+                ia.append(ids[i])
+                ib.append(ids[int(j)])
+                cs.append(_round_half_up(c))
+    order = sorted(range(len(ia)), key=lambda k: (ia[k], ib[k]))
+    return pa.table({
+        "id_a": pa.array([ia[k] for k in order], pa.int64()),
+        "id_b": pa.array([ib[k] for k in order], pa.int64()),
+        "cosine": pa.array([cs[k] for k in order], pa.float64()),
+    })
+
+
 # --------------------------------------------------------------- winnowing
 
 def gold_winnow(docs: list[tuple[int, str]], k: int = 8,
@@ -542,7 +633,7 @@ def gold_winnow(docs: list[tuple[int, str]], k: int = 8,
 
 # ------------------------------------------------------------ orchestration
 
-_GOLD_VERSION = 6
+_GOLD_VERSION = 8
 
 
 def ensure_training_gold(sf_dir: str) -> str:
@@ -587,6 +678,8 @@ def ensure_training_gold(sf_dir: str) -> str:
                    os.path.join(out_dir, "ivf_topk.parquet"))
     pq.write_table(gold_winnow(docs, k=8, w=4),
                    os.path.join(out_dir, "winnow.parquet"))
+    pq.write_table(gold_tfidf_pairs(docs, tau=0.9),
+                   os.path.join(out_dir, "tfidf_pairs.parquet"))
     feats = gold_mm_features(docs)
     pq.write_table(feats, os.path.join(out_dir, "mm_features.parquet"))
     pq.write_table(gold_mm_frames(feats, every_n=8),

@@ -39,11 +39,11 @@ MEDIA_SCHEMA = StructType([
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
-    StructField("format", StringType()),        # png | wav | fake
+    StructField("format", StringType()),        # png | jpeg | wav | fake
     StructField("n_bytes", IntegerType()),
     StructField("crc32", LongType()),
-    StructField("width", IntegerType()),        # png only
-    StructField("height", IntegerType()),       # png only
+    StructField("width", IntegerType()),        # image formats only
+    StructField("height", IntegerType()),       # image formats only
     StructField("channels", IntegerType()),     # wav only
     StructField("sample_rate", IntegerType()),  # wav only
     StructField("n_frames", IntegerType()),     # wav: sample frames
@@ -63,6 +63,46 @@ def _parse_png(p: bytes):
         w, h = struct.unpack(">II", p[16:24])
         if 0 < w < 2 ** 31 and 0 < h < 2 ** 31:
             return w, h
+    return None
+
+
+_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}   # not DHT/JPG/DAC
+
+
+def _parse_jpeg(p: bytes):
+    """(width, height) from the first SOFn frame header, or None if not a
+    JPEG. Marker walk per the public JPEG/JFIF spec: after SOI (FFD8),
+    each segment is FF + marker + 2-byte BE length that includes itself;
+    SOF0..SOF15 (minus DHT/JPG/DAC) carry precision(1) height(2) width(2).
+    Standalone markers (TEM, RSTn) and fill FFs are skipped; reaching
+    SOS/EOI without a SOF, a desynced byte, or zero dimensions (spec
+    allows height 0 only with a later DNL — treated as corrupt) returns
+    None, matching the lying-header posture of _parse_png/_parse_wav."""
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            return None
+        marker = p[pos + 1]
+        if marker == 0xFF:                       # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:   # standalone
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):               # EOI / SOS before SOF
+            return None
+        (size,) = struct.unpack(">H", p[pos + 2:pos + 4])
+        if size < 2:
+            return None
+        if marker in _SOF_MARKERS:
+            if size < 7 or pos + 9 > len(p):
+                return None
+            h, w = struct.unpack(">HH", p[pos + 5:pos + 9])
+            return (w, h) if 0 < w and 0 < h else None
+        pos += 2 + size
     return None
 
 
@@ -105,8 +145,8 @@ def decode_media(media: DataFrame, fake: bool = False,
                  strict: bool = True) -> DataFrame:
     """Binary payload -> typed feature row, Arrow-batched.
 
-    fake=False (the real path) header-parses PNG and WAV payloads with
-    zero dependencies; an unrecognized format raises (strict=True) or
+    fake=False (the real path) header-parses PNG, JPEG and WAV payloads
+    with zero dependencies; an unrecognized format raises (strict=True) or
     falls back to the CRC fake tagged format='fake' (strict=False), so a
     fallback is always visible in the output, never silent. fake=True
     forces the CRC fake for every row (fixture/smoke path)."""
@@ -121,13 +161,17 @@ def decode_media(media: DataFrame, fake: bool = False,
             if png is not None:
                 return {**base, "format": "png", "width": png[0],
                         "height": png[1], "n_frames": 1}
+            jpg = _parse_jpeg(p)
+            if jpg is not None:
+                return {**base, "format": "jpeg", "width": jpg[0],
+                        "height": jpg[1], "n_frames": 1}
             wav = _parse_wav(p)
             if wav is not None:
                 return {**base, "format": "wav", "channels": wav[0],
                         "sample_rate": wav[1], "n_frames": wav[2]}
             if strict:
                 raise ValueError(
-                    f"media_id={mid}: payload is neither PNG nor WAV; "
+                    f"media_id={mid}: payload is not PNG/JPEG/WAV; "
                     "real decode of this format needs a codec library "
                     "(pass strict=False for the CRC fake fallback)")
         w, h, nf = _fake_decode(p)
@@ -148,8 +192,9 @@ def decode_media(media: DataFrame, fake: bool = False,
 
 
 def synth_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """Deterministic tiny PNG/WAV payload per id (even ids -> PNG, odd ->
-    WAV) for exercising the real decode path without codec libraries.
+    """Deterministic tiny PNG/JPEG/WAV payload per id (even ids -> PNG,
+    i%4==1 -> WAV, i%4==3 -> JPEG with SOF2-progressive every i%8==7) for
+    exercising the real decode path without codec libraries.
     Geometry/audio parameters are pure functions of the id, so an
     independent oracle can predict every decoded feature without parsing
     (goldgen.gold_mm_real). Fixture generator — the pandas UDF here is
@@ -162,6 +207,17 @@ def synth_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             return (_PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr
                     + b"\x00" * 4                       # CRC not validated
                     + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4)
+        if i % 4 == 3:
+            w, h = 16 + (i * 3) % 512, 16 + (i * 5) % 512
+            sof = 0xC2 if i % 8 == 7 else 0xC0
+            app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                    + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+                    + bytes([0, 0]))
+            comps = bytes([3]) + b"".join(
+                bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+            frame = (bytes([0xFF, sof]) + struct.pack(">H", 8 + 9)
+                     + bytes([8]) + struct.pack(">HH", h, w) + comps)
+            return b"\xff\xd8" + app0 + frame + b"\xff\xd9"
         ch = 1 + i % 2
         sr = 8000 + (i % 5) * 1000
         nsamp = 100 + i % 400
@@ -172,15 +228,19 @@ def synth_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 + b"fmt " + struct.pack("<I", 16) + fmt
                 + b"data" + struct.pack("<I", len(data)) + data)
 
+    def _mime(i: int) -> str:
+        if i % 2 == 0:
+            return "image/png"
+        return "image/jpeg" if i % 4 == 3 else "audio/wav"
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             mids = [int(m) for m in pdf[id_col]]
             yield pd.DataFrame({
                 "media_id": mids,
-                "kind": ["image" if m % 2 == 0 else "audio" for m in mids],
+                "kind": ["audio" if m % 4 == 1 else "image" for m in mids],
                 "payload": [_payload(m) for m in mids],
-                "mime": ["image/png" if m % 2 == 0 else "audio/wav"
-                         for m in mids],
+                "mime": [_mime(m) for m in mids],
             })
 
     return ids.select(F.col(id_col).cast("long").alias(id_col)) \

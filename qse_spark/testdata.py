@@ -120,11 +120,44 @@ def _coined_words(rng: np.random.Generator, n: int) -> list[str]:
     return accepted
 
 
+def _shared_pool_cores(rng: np.random.Generator, pool: list[str],
+                       n: int) -> list[str]:
+    """n distinct 3-word cores over a SHARED word pool, any two cores
+    sharing at most ONE word. With pool words pairwise 3-gram-separated
+    (<= 0.3), one shared word out of three keeps cross-core Jaccard
+    ~0.2-0.3 — far below the linking tau (0.55) — while the pool size
+    grows only as sqrt(entities). This is the vocabulary-SCALED world for
+    bench realism at large entity counts (VERDICT r3 missing #1); the
+    correctness fixtures keep vocab_mult=1's dedicated-words guarantee."""
+    P = len(pool)
+    used_pairs: set[frozenset] = set()
+    cores: list[str] = []
+    for v in rng.permutation(P * P):
+        if len(cores) >= n:
+            break
+        i, j = divmod(int(v), P)
+        k = (i * 31 + j * 17 + len(cores)) % P
+        if i == j or j == k or i == k:
+            continue
+        pairs = (frozenset((i, j)), frozenset((i, k)), frozenset((j, k)))
+        if any(p in used_pairs for p in pairs):
+            continue
+        used_pairs.update(pairs)
+        cores.append(f"{pool[i]} {pool[j]} {pool[k]}")
+    if len(cores) < n:
+        raise ValueError(f"shared-pool core space exhausted: "
+                         f"{len(cores)} < {n} (pool {P})")
+    return cores
+
+
 class World:
     """The closed entity universe for one fixture.
 
-    Every entity core is "<w1> <w2>" over two dedicated pool words. Alias
-    variants per kind:
+    Every entity core is "<w1> <w2>" over two dedicated pool words
+    (vocab_mult == 1, the correctness-fixture guarantee: cross-entity
+    similarity bounded by the pool's 0.3 separation), or a 3-word
+    shared-pool core (vocab_mult > 1, the bench-scaling world — see
+    _shared_pool_cores). Alias variants per kind:
       person  [core, "dr <core>", "<core>son" (extended w2), "<core> phd"]
       org     [<core> corporation|incorporated, <core> corp|inc, <core>ix]
       city    [core, "<core> city"]
@@ -133,14 +166,24 @@ class World:
     """
 
     def __init__(self, seed: int, n_persons: int, n_orgs: int, n_cities: int,
-                 n_projects: int):
+                 n_projects: int, vocab_mult: int = 1):
         rng = np.random.default_rng(seed)
-        need = 2 * (n_persons + n_orgs + n_cities + n_projects)
-        pool = _coined_words(rng, need)
-        it = iter(pool)
+        n_ent = n_persons + n_orgs + n_cities + n_projects
+        if vocab_mult > 1:
+            pool_n = min(6000, max(300, int((12 * n_ent) ** 0.5) + 100))
+            pool = _coined_words(rng, pool_n)
+            cores_list = _shared_pool_cores(rng, pool, n_ent)
+            it = iter(cores_list)
 
-        def core():
-            return f"{next(it)} {next(it)}"
+            def core():
+                return next(it)
+        else:
+            need = 2 * n_ent
+            pool = _coined_words(rng, need)
+            wit = iter(pool)
+
+            def core():
+                return f"{next(wit)} {next(wit)}"
 
         self.persons = []
         for i in range(n_persons):
@@ -195,15 +238,21 @@ def _zipf_pick(rng: np.random.Generator, n: int) -> int:
 
 def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
              n_persons: int | None = None, n_orgs: int | None = None,
-             n_cities: int | None = None, n_projects: int | None = None) -> str:
-    """Generate the fixture; returns the output directory."""
+             n_cities: int | None = None, n_projects: int | None = None,
+             vocab_mult: int = 1) -> str:
+    """Generate the fixture; returns the output directory. vocab_mult > 1
+    multiplies the entity-world caps (shared-pool 3-word cores) so mention
+    vocabulary grows with corpus size — the bench-scaling knob."""
     # entity-world caps bounded by the greedy coined-word pool (~6.5k words
-    # at the 0.3 separation threshold -> <=6k words = 3k entities)
-    n_persons = n_persons or max(20, min(1400, n_turns // 40))
-    n_orgs = n_orgs or max(10, min(900, n_turns // 60))
-    n_cities = n_cities or max(8, min(450, n_turns // 80))
-    n_projects = n_projects or max(5, min(250, n_turns // 100))
-    world = World(seed, n_persons, n_orgs, n_cities, n_projects)
+    # at the 0.3 separation threshold -> <=6k words = 3k entities at
+    # vocab_mult=1; the shared-pool world lifts the ceiling to sqrt growth)
+    m = max(1, int(vocab_mult))
+    n_persons = n_persons or max(20, min(1400 * m, n_turns // 40))
+    n_orgs = n_orgs or max(10, min(900 * m, n_turns // 60))
+    n_cities = n_cities or max(8, min(450 * m, n_turns // 80))
+    n_projects = n_projects or max(5, min(250 * m, n_turns // 100))
+    world = World(seed, n_persons, n_orgs, n_cities, n_projects,
+                  vocab_mult=m)
     rng = np.random.default_rng(seed + 1)
 
     conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
@@ -391,16 +440,21 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"seed": seed, "n_turns": n_turns, "n_persons": n_persons,
                    "n_orgs": n_orgs, "n_cities": n_cities,
-                   "n_projects": n_projects, "version": 4}, f)
+                   "n_projects": n_projects, "vocab_mult": vocab_mult,
+                   "version": 4}, f)
     return out_dir
 
 
-def ensure_fixture(seed: int = 42, n_turns: int = 2000) -> str:
+def ensure_fixture(seed: int = 42, n_turns: int = 2000,
+                   vocab_mult: int = 1) -> str:
     """Generate-if-missing; safe to call from tests, entry() and bench."""
-    out_dir = os.path.join(FIXTURE_ROOT, f"seed{seed}_n{n_turns}")
+    tag = f"seed{seed}_n{n_turns}" + \
+        (f"_v{vocab_mult}" if vocab_mult > 1 else "")
+    out_dir = os.path.join(FIXTURE_ROOT, tag)
     meta = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta):
         with open(meta) as f:
             if json.load(f).get("version") == 4:
                 return out_dir
-    return generate(seed=seed, n_turns=n_turns, out_dir=out_dir)
+    return generate(seed=seed, n_turns=n_turns, out_dir=out_dir,
+                    vocab_mult=vocab_mult)

@@ -48,7 +48,7 @@ def test_query_matches_oracle(spark, duck_views, name):
     GOLD_PINNED = {"dedup_minhash", "dedup_simhash", "sim_ann_topk",
                    "sim_cosine_near_dup", "mm_decode_features",
                    "mm_frame_sample", "text_winnow_fp",
-                   "text_winnow_dup_pairs"}
+                   "text_winnow_dup_pairs", "sim_tfidf_pairs"}
     if name.startswith("kg_") or name == "src_ntriples_roundtrip" \
             or name in GOLD_PINNED:
         pytest.skip("fixture-pinned oracles target the sf0.01 fixture "
@@ -61,15 +61,14 @@ def test_query_matches_oracle(spark, duck_views, name):
 
 
 def test_tfidf_oracle_float_margins(spark):
-    """The sim_tfidf_pairs oracle compares ROUND(cosine, 6) across two
-    engines whose SUMs accumulate in different orders (~1e-15 absolute
-    discrepancy). That is only sound if no pair's cosine sits on a
-    knife-edge: near the tau=0.9 filter or near a 6th-decimal rounding
-    midpoint. Measure both margins at sf0.01 (the driver's sf) so a
-    regenerated fixture that lands on a boundary fails loudly here
-    instead of flaking the driver row. Measured at round 3: min
-    |cosine - 0.9| ≈ 6.8e-4, min midpoint distance ≈ 2.7e-3 µ-units
-    (i.e. ≥ 2.7e-9 in cosine units — ~1e6× the cross-engine error)."""
+    """The sim_tfidf_pairs oracle is the numpy gold twin
+    (goldgen.gold_tfidf_pairs), whose generation already refuses fixtures
+    within 1e-12 of tau or a round(6) midpoint. This test independently
+    measures the SPARK-side margins at sf0.01 (the driver's sf) with a
+    looser 1e-6 bar, so a regenerated corpus that drifts toward a
+    knife-edge is flagged before it ever reaches the 1e-12 guard.
+    Measured at round 3: min |cosine - 0.9| ≈ 6.8e-4, min midpoint
+    distance ≈ 2.7e-3 µ-units (≥ 2.7e-9 cosine units)."""
     from qse_spark.operators.linking import tfidf_cosine_pairs
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     rows = (tfidf_cosine_pairs(docs, tau=0.5, id_col="doc_id",

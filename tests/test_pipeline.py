@@ -174,3 +174,18 @@ def test_approx_toggle_resumes_upstream_stages(spark, fixture_dir, tmp_path):
     assert resumed == {"triples": True, "triple_groups": True,
                        "links": True, "canonical_map": True,
                        "canonical_triples": True, "shape_stats": False}
+
+
+def test_vocab_scaled_world_links_exactly(spark, tmp_path):
+    """The vocab_mult>1 shared-pool world (3-word cores, pairwise <=1
+    shared word) must keep the linking margins: cross-core similarity
+    stays under tau while alias variants still link, so the pipeline is
+    EXACT on the deterministic fixture even in the bench-scaling world."""
+    from qse_spark.testdata import ensure_fixture
+    fx = ensure_fixture(seed=44, n_turns=2000, vocab_mult=4)
+    out = run_pipeline(spark, f"{fx}/transcripts.parquet")
+    got = out["canonical_triples"].select("subject", "predicate", "object")
+    gold = (spark.read.parquet(f"{fx}/gold_triples.parquet")
+            .select("subject", "predicate", "object"))
+    pr = precision_recall(gold, got)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0

@@ -131,6 +131,18 @@ def test_media_synth_decode_roundtrip_scalar(i):
              + b"\x00" * 4 + _s.pack(">I", 0) + b"IEND" + b"\x00" * 4)
         assert _parse_png(p) == (gold["width"], gold["height"])
         assert _parse_wav(p) is None
+    elif i % 4 == 3:
+        from qse_spark.operators.multimodal import _parse_jpeg
+        w, h = 16 + (i * 3) % 512, 16 + (i * 5) % 512
+        sof = 0xC2 if i % 8 == 7 else 0xC0
+        app0 = (b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00"
+                + bytes([1, 1, 0]) + _s.pack(">HH", 1, 1) + bytes([0, 0]))
+        frame = (bytes([0xFF, sof]) + _s.pack(">H", 17) + bytes([8])
+                 + _s.pack(">HH", h, w)
+                 + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        p = b"\xff\xd8" + app0 + frame + b"\xff\xd9"
+        assert _parse_jpeg(p) == (gold["width"], gold["height"])
+        assert _parse_png(p) is None and _parse_wav(p) is None
     else:
         ch = 1 + i % 2
         sr = 8000 + (i % 5) * 1000

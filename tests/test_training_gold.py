@@ -174,3 +174,41 @@ def test_winnow_gold(docs, gold_dir):
 def test_simhash_clusters_gold(docs, gold_dir):
     _assert_bitexact(dedup.simhash_dedup_clusters(docs, hamming=3),
                      f"{gold_dir}/simhash_clusters.parquet", ["doc_id"])
+
+
+def test_tfidf_pairs_gold(docs, gold_dir):
+    from qse_spark.operators.linking import tfidf_cosine_pairs
+    out = (tfidf_cosine_pairs(docs, tau=0.9, id_col="doc_id",
+                              text_col="text")
+           .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+    _assert_bitexact(out, f"{gold_dir}/tfidf_pairs.parquet",
+                     ["id_a", "id_b"])
+
+
+def test_tfidf_boundary_pairs(spark):
+    """Two pairs deliberately straddling tau=0.9 (one at ~0.8986, one at
+    ~0.900003 — margins 1e-3 / 3e-6, which is still >= 1e9x the
+    cross-engine float error): the Spark filter and the numpy gold twin
+    must agree on both sides of the boundary."""
+    def mk(shared, total, did, pfx):
+        return (did, " ".join(
+            [f"{pfx}tok{i}" for i in range(shared)]
+            + [f"{pfx}uniq{did}_{j}" for j in range(total - shared)]))
+
+    rows = [mk(127, 130, 1, "a"), mk(127, 130, 2, "a"),
+            mk(129, 132, 3, "b"), mk(129, 132, 4, "b")]
+    all_pairs = goldgen.gold_tfidf_pairs(rows, tau=0.8)
+    c = {(a, b): v for a, b, v in zip(all_pairs["id_a"].to_pylist(),
+                                      all_pairs["id_b"].to_pylist(),
+                                      all_pairs["cosine"].to_pylist())}
+    assert 0.895 < c[(1, 2)] < 0.9 and 0.9 < c[(3, 4)] < 0.905
+    gold = goldgen.gold_tfidf_pairs(rows, tau=0.9)
+    assert (list(zip(gold["id_a"].to_pylist(), gold["id_b"].to_pylist()))
+            == [(3, 4)])
+    from qse_spark.operators.linking import tfidf_cosine_pairs
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (tfidf_cosine_pairs(d, tau=0.9, id_col="doc_id", text_col="text")
+           .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+           .collect())
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == \
+        [(3, 4, gold["cosine"].to_pylist()[0])]

@@ -155,7 +155,7 @@ def test_multimodal_stub_plumbing(spark):
             (3, "audio", bytearray(b""), "audio/wav")]
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     # real+strict decode of junk payloads fails loudly (in the executor)
-    with pytest.raises(Exception, match="neither PNG nor WAV"):
+    with pytest.raises(Exception, match="not PNG/JPEG/WAV"):
         multimodal.decode_media(media).collect()
     # strict=False falls back to the visible 'fake' format tag
     fallback = multimodal.decode_media(media, strict=False).collect()
@@ -186,6 +186,13 @@ def test_multimodal_real_header_decode(spark):
             assert r["format"] == "png" and r["kind"] == "image"
             assert r["width"] == 16 + i % 512
             assert r["height"] == 16 + (i * 7) % 512
+            assert r["channels"] is None and r["sample_rate"] is None
+            assert r["n_frames"] == 1
+        elif i % 4 == 3:
+            # SOF0 baseline and SOF2 progressive (i%8==7) both decode
+            assert r["format"] == "jpeg" and r["kind"] == "image"
+            assert r["width"] == 16 + (i * 3) % 512
+            assert r["height"] == 16 + (i * 5) % 512
             assert r["channels"] is None and r["sample_rate"] is None
             assert r["n_frames"] == 1
         else:
