@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(n_exec: int, n_turns: int, sf_dir: str, replicate: int,
-        repeats: int = 3) -> dict:
+        repeats: int = 3, vocab: int = 1) -> dict:
     # N separate executor JVMs x 1 core x 6 GiB — the honest sandbox model
     # of "N executors": independent heaps/GC/block managers, netty shuffle.
     # 1 core/executor keeps total concurrency far below this sandbox's
@@ -39,6 +39,7 @@ def run(n_exec: int, n_turns: int, sf_dir: str, replicate: int,
                SPARK_GRAFT_CPUS=str(n_exec),
                SPARK_GRAFT_SF_DIR=sf_dir, QSE_BENCH_TURNS=str(n_turns),
                QSE_BENCH_REPLICATE=str(replicate),
+               QSE_BENCH_VOCAB=str(vocab),
                QSE_SPARK_DRIVER_MEM="8g",
                SPARK_LOCAL_DIRS="/dev/shm/qse-spark-local",
                QSE_BENCH_PIPELINE_ONLY="1")
@@ -55,14 +56,16 @@ def run(n_exec: int, n_turns: int, sf_dir: str, replicate: int,
     return best
 
 
-def main():
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+STAGES = ["p1_extract_group", "p2_linking", "p3_cc", "p4_canonicalize",
+          "p5_stats"]
+
+
+def scale_pair(n_turns: int, sf_dir: str, replicate: int,
+               vocab: int = 1) -> dict:
+    """One N-vs-4N measurement pair -> report dict with per-stage split."""
     lo, hi = 1, 4                      # executors (x1 core each): N vs 4N
-    r_lo = run(lo, n_turns, sf_dir, replicate)
-    r_hi = run(hi, n_turns, sf_dir, replicate)
-    n_turns *= replicate
+    r_lo = run(lo, n_turns, sf_dir, replicate, vocab=vocab)
+    r_hi = run(hi, n_turns, sf_dir, replicate, vocab=vocab)
     thr_lo = r_lo["throughput"]["turns_per_sec"]
     thr_hi = r_hi["throughput"]["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -72,8 +75,10 @@ def main():
     stage_eff = {
         s: round((r_lo["queries"][s] / r_hi["queries"][s]) / (hi / lo), 3)
         for s in r_lo["queries"]}
-    report = {
-        "n_turns": n_turns,
+    return {
+        "n_turns": n_turns * replicate,
+        "vocab_mult": vocab,
+        "rows": r_lo.get("rows", {}),
         "local_low": {"cpus": lo, "e2e_sec": r_lo["value"],
                       "turns_per_sec": thr_lo, "stages": r_lo["queries"]},
         "local_high": {"cpus": hi, "e2e_sec": r_hi["value"],
@@ -84,47 +89,85 @@ def main():
         "criterion": ">= 0.8",
         "pass": eff >= 0.8,
     }
-    print(json.dumps(report, indent=1))
+
+
+def _pair_table(report: dict) -> list[str]:
     md = [
-        "# BENCH_SCALING — two-parallelism throughput evidence",
-        "",
-        f"Same job (full KG pipeline), identical input ({n_turns:,} turns,",
-        "deterministic fixture seed 42), two parallelism levels in separate",
-        "JVMs. Sandbox stand-in for N vs 4N executors per BASELINE.json.",
-        "",
         "| executors×cores | e2e sec | turns/sec | extract+group | linking | cc | canon | stats |",
         "|---|---|---|---|---|---|---|---|",
     ]
-    for r, c in [(r_lo, lo), (r_hi, hi)]:
-        s = r["queries"]
-        md.append(f"| local-cluster[{c}x1] | {r['value']} | "
-                  f"{r['throughput']['turns_per_sec']} | {s['p1_extract_group']} | "
+    for side in ("local_low", "local_high"):
+        r = report[side]
+        s = r["stages"]
+        md.append(f"| local-cluster[{r['cpus']}x1] | {r['e2e_sec']} | "
+                  f"{r['turns_per_sec']} | {s['p1_extract_group']} | "
                   f"{s['p2_linking']} | {s['p3_cc']} | {s['p4_canonicalize']} "
                   f"| {s['p5_stats']} |")
     se = report["stage_efficiency"]
+    md.append("| per-stage efficiency (t_lo/t_hi/4) | — | — | "
+              + " | ".join(str(se[s]) for s in STAGES) + " |")
     md += [
-        "| per-stage efficiency (t_lo/t_hi/4) | — | — | "
-        + " | ".join(str(se[s]) for s in ["p1_extract_group", "p2_linking",
-                                          "p3_cc", "p4_canonicalize",
-                                          "p5_stats"]) + " |",
         "",
-        f"**Speedup {lo}→{hi} executors: {report['speedup']}x; scaling "
+        f"**Speedup 1→4 executors: {report['speedup']}x; scaling "
         f"efficiency {report['scaling_efficiency']} "
         f"({'PASS' if report['pass'] else 'BELOW'} the ≥0.8 criterion).**",
+    ]
+    return md
+
+
+def main():
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    vocab = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    fixed = scale_pair(n_turns, sf_dir, replicate, vocab=1)
+    print(json.dumps(fixed, indent=1))
+    scaled = scale_pair(n_turns, sf_dir, replicate, vocab=vocab) \
+        if vocab > 1 else None
+    if scaled:
+        print(json.dumps(scaled, indent=1))
+    total = n_turns * replicate
+    md = [
+        "# BENCH_SCALING — two-parallelism throughput evidence",
         "",
-        "Scope of the claim: at this input size the e2e number is dominated",
-        "by the embarrassingly-parallel extraction stage (the realistic",
-        "regime — at 10^12 turns extraction is a larger share still, since",
-        "the back-half stages operate on the vocabulary-sized aggregate, not",
-        "the corpus). The per-stage row above is the honest split: the",
-        "shuffle-bound back-half stages (linking/cc/canonicalize/stats) run",
-        "in seconds on a vocabulary that does NOT grow with the replicated",
-        "corpus, so their wall time is scheduler-latency-bound here and",
-        "their efficiency numbers are not meaningful at this stage size;",
-        "they are reported so the e2e headline cannot be over-read.",
+        f"Same job (full KG pipeline), identical input ({total:,} turns,",
+        "deterministic fixture seed 42), two parallelism levels in separate",
+        "JVMs. Sandbox stand-in for N vs 4N executors per BASELINE.json.",
+        "",
+        "## Fixed vocabulary (replication-only corpus growth)",
+        "",
+    ]
+    md += _pair_table(fixed)
+    md += [
+        "",
+        "Scope of the fixed-vocab claim: the e2e number is dominated by the",
+        "embarrassingly-parallel extraction stage; the back-half stages see",
+        "a vocabulary that does NOT grow with the replicated corpus, so",
+        "their wall times here are scheduler-latency-bound and their",
+        "efficiency numbers are not meaningful at this stage size. The",
+        "vocabulary-scaled section below is the honest back-half",
+        "measurement (round-3 verdict, missing #1).",
+    ]
+    if scaled:
+        rows = scaled.get("rows", {})
+        md += [
+            "",
+            f"## Vocabulary-scaled (vocab_mult={vocab}: shared-pool entity "
+            "world, mention vocabulary grows with the corpus)",
+            "",
+            f"Same corpus size, but the fixture's entity world is {vocab}x",
+            "larger (QSE_BENCH_VOCAB; testdata shared-pool 3-word cores),",
+            f"so linking/CC/canonicalize/stats operate on "
+            f"{rows.get('mentions', '?'):,} distinct mentions instead of "
+            "the fixed-vocab run's few thousand — the back-half per-stage",
+            "efficiencies below are measured on corpus-proportional work.",
+            "",
+        ]
+        md += _pair_table(scaled)
+    md += [
         "",
         "```json",
-        json.dumps(report),
+        json.dumps({"fixed": fixed, "vocab_scaled": scaled}),
         "```",
     ]
     curve_path = os.path.join(REPO, ".thread_curve.json")
