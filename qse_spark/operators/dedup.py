@@ -242,7 +242,8 @@ def dropped_chunk_report(docs: DataFrame, blocks: int = 4,
 
 
 def simhash_dedup(docs: DataFrame, hamming: int = 3,
-                  blocks: int = 4, max_block: int = 500) -> DataFrame:
+                  blocks: int = 4, max_block: int = 500,
+                  sig: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance <= `hamming`, using the
     standard block-rotation trick: split the 64-bit signature into `blocks`
     chunks — any pair within distance `hamming` < blocks shares at least one
@@ -254,8 +255,13 @@ def simhash_dedup(docs: DataFrame, hamming: int = 3,
     and signature-0 docs are excluded entirely — emitting their pairwise
     matches is O(empty_docs²) OUTPUT by definition, which no cap fixes.
     Use simhash_dedup_clusters for the keeper contract that still groups
-    them (linearly, as one exact-dup cluster)."""
-    keys = _simhash_chunk_keys(simhash(docs), blocks)
+    them (linearly, as one exact-dup cluster).
+
+    `sig` (optional): precomputed simhash(docs) — pass it when the caller
+    also needs the signatures, so the token-explode corpus scan (the
+    operator's dominant cost) runs exactly once."""
+    keys = _simhash_chunk_keys(sig if sig is not None else simhash(docs),
+                               blocks)
     cnt = keys.groupBy("blk", "key").agg(F.count("*").alias("bn"))
     keys = (keys.join(cnt, ["blk", "key"]).filter(F.col("bn") <= max_block)
             .drop("bn"))
@@ -270,8 +276,8 @@ def simhash_dedup(docs: DataFrame, hamming: int = 3,
 
 
 def simhash_dedup_clusters(docs: DataFrame, hamming: int = 3,
-                           blocks: int = 4,
-                           max_block: int = 500) -> DataFrame:
+                           blocks: int = 4, max_block: int = 500,
+                           sig: DataFrame | None = None) -> DataFrame:
     """(doc_id, keeper_id) — near-dup clusters from the simhash pair graph
     (connected components, keeper = numeric min doc_id per component,
     singletons map to themselves) — the same keeper contract as
@@ -281,10 +287,19 @@ def simhash_dedup_clusters(docs: DataFrame, hamming: int = 3,
     Signature-0 docs (excluded from the pair join, see simhash_dedup) are
     still clustered: all of them form ONE exact-dup group via a linear
     star of edges to their min doc_id — O(empty_docs) edges instead of
-    the O(empty_docs²) pairs the uncapped join used to materialize."""
+    the O(empty_docs²) pairs the uncapped join used to materialize.
+
+    The signature table (one 2-long row per doc) is computed ONCE and
+    eagerly local-checkpointed — the pair join and the signature-0 star
+    both read it, and without the pin the token-explode corpus scan (the
+    dominant cost) would run twice. Pass a precomputed `sig` to share it
+    with sibling calls (e.g. a pairs query next to this one)."""
+    if sig is None:
+        sig = simhash(docs).localCheckpoint(eager=True)
     pairs = simhash_dedup(docs, hamming=hamming, blocks=blocks,
-                          max_block=max_block).select("id_a", "id_b")
-    zdocs = simhash(docs).filter(F.col("simhash") == 0).select("doc_id")
+                          max_block=max_block, sig=sig) \
+        .select("id_a", "id_b")
+    zdocs = sig.filter(F.col("simhash") == 0).select("doc_id")
     zmin = zdocs.agg(F.min("doc_id").alias("id_a"))
     star = (zdocs.crossJoin(F.broadcast(zmin))
             .filter(F.col("doc_id") != F.col("id_a"))

@@ -451,10 +451,10 @@ def _parse_ttl_shape_doc(doc: str) -> list[tuple[str, str, str]]:
     (Turtle gives them no stable name; the key column is what P/R needs)."""
     import re as _re
 
-    from .sources.turtle import ttl_statements as _ttl_statements
+    from .sources.turtle import (ttl_bracket_end, ttl_prefixes,
+                                 ttl_statements as _ttl_statements)
 
-    prefixes = dict(_re.findall(
-        r"@prefix\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.", doc))
+    prefixes = ttl_prefixes(doc)
 
     def term(tok: str) -> str:
         if tok.startswith("<") and tok.endswith(">"):
@@ -483,12 +483,11 @@ def _parse_ttl_shape_doc(doc: str) -> list[tuple[str, str, str]]:
         if sh_ns + "NodeShape" in types:
             for t in tc_re.findall(stmt):
                 rows.append(("NS", subj, term(t)))
-            # inline blank-node property shapes: [ ... sh:path X ... ]
+            # inline blank-node property shapes: [ ... sh:path X ... ];
+            # string-aware close scan — a ']'/'[' inside a quoted literal
+            # (e.g. sh:message "see ] in docs") never moves the depth
             for pm in prop_re.finditer(stmt):
-                i, depth = pm.end(), 1
-                while i < len(stmt) and depth:
-                    depth += {"[": 1, "]": -1}.get(stmt[i], 0)
-                    i += 1
+                i = ttl_bracket_end(stmt, pm.end())
                 body = stmt[pm.end():i - 1]
                 for t in path_re.findall(body):
                     rows.append(("PS", f"_:{subj}/{term(t)}", term(t)))

@@ -8,8 +8,9 @@ The reference consumes its corpus as line-oriented N-Triples
 (`TurtlePrettyFormatter.java`) — this reader is what lets the engine load
 those files directly. It is a deliberate SUBSET: @prefix resolution,
 `;`/`,` predicate-object lists, typed/lang literals, bare numeric and
-boolean literals, `a` as rdf:type. No collections-as-objects at the data
-level, no nested blank-node OBJECTS (they are skipped with a counter
+boolean literals, `a` as rdf:type, '#' comments (stripped string-aware).
+No collections-as-objects at the data level, no nested blank-node OBJECTS
+and no pnames with undeclared prefixes (both are skipped with a counter
 column, never silently mangled), no triple-quoted strings.
 
 Scale note: Turtle is not line-splittable, so each FILE is one parse task
@@ -41,27 +42,75 @@ _INT_KINDS = {"int", "integer", "long", "short", "nonnegativeinteger",
 _DATE_KINDS = {"date", "datetime", "gyear"}
 
 
+class _TokenState:
+    """Tracks whether the scan cursor sits inside an <IRI> or a "string"
+    (ECHAR-aware) token. feed(ch) advances the state and returns True when
+    ch is STRUCTURAL — outside both token kinds — so '.', ';', ',', '[',
+    ']' and '#' only act when this returns True. One implementation shared
+    by every Turtle scanner here and by shapes._parse_ttl_shape_doc."""
+    __slots__ = ("in_iri", "in_str", "esc")
+
+    def __init__(self):
+        self.in_iri = self.in_str = self.esc = False
+
+    def feed(self, ch: str) -> bool:
+        if self.in_iri:
+            self.in_iri = ch != ">"
+        elif self.in_str:
+            if self.esc:
+                self.esc = False
+            elif ch == "\\":
+                self.esc = True
+            else:
+                self.in_str = ch != '"'
+        elif ch == "<":
+            self.in_iri = True
+        elif ch == '"':
+            self.in_str = True
+        else:
+            return True
+        return False
+
+
+def strip_ttl_comments(doc: str) -> str:
+    """Remove '#'-to-end-of-line comments (structural '#' only: a '#'
+    inside an <IRI> fragment or a "string" body is data, not a comment).
+    Comment text is never fed to the token state machine, so a quote or
+    bracket inside a comment cannot corrupt later statements."""
+    spans, st = [], _TokenState()
+    i, n = 0, len(doc)
+    while i < n:
+        ch = doc[i]
+        if st.feed(ch) and ch == "#":
+            j = doc.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+            continue
+        i += 1
+    if not spans:
+        return doc
+    out, prev = [], 0
+    for a, b in spans:
+        out.append(doc[prev:a])
+        prev = b
+    out.append(doc[prev:])
+    return "".join(out)
+
+
 def ttl_statements(doc: str) -> list[str]:
     """Split a Turtle document into top-level statements: a '.' terminates
     a statement only at bracket depth 0, outside <IRI> and "string" tokens,
-    and when followed by whitespace/EOF (so decimals never split)."""
+    and when followed by whitespace/EOF (so decimals never split).
+    '#' comments are stripped first (string-aware), so comments adjacent
+    to statements never glue onto or split them."""
+    doc = strip_ttl_comments(doc)
     out, start, depth = [], 0, 0
-    in_iri = in_str = esc = False
+    st = _TokenState()
     for i, ch in enumerate(doc):
-        if in_iri:
-            in_iri = ch != ">"
-        elif in_str:
-            if esc:
-                esc = False
-            elif ch == "\\":
-                esc = True
-            else:
-                in_str = ch != '"'
-        elif ch == "<":
-            in_iri = True
-        elif ch == '"':
-            in_str = True
-        elif ch in "[(":
+        if not st.feed(ch):
+            continue
+        if ch in "[(":
             depth += 1
         elif ch in "])":
             depth -= 1
@@ -77,25 +126,43 @@ def ttl_statements(doc: str) -> list[str]:
     return out
 
 
+def ttl_prefixes(doc: str) -> dict[str, str]:
+    """@prefix / SPARQL-style PREFIX declarations -> {prefix: base IRI}
+    ('' key for the default prefix). Comment-stripped first, so a
+    commented-out declaration never registers. Shared with
+    shapes._parse_ttl_shape_doc so the data path and the shapes-parity
+    path can never drift on prefix resolution."""
+    return {
+        (p or ""): iri for p, iri in
+        re.findall(r"(?:@prefix|PREFIX)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>",
+                   strip_ttl_comments(doc))}
+
+
+def ttl_bracket_end(s: str, i: int, depth: int = 1) -> int:
+    """Index just past the ']' that closes the bracket group already
+    `depth` deep at s[i]; brackets inside <IRI>/"string" tokens don't
+    count (a literal like "see ] in docs" never closes the group)."""
+    st = _TokenState()
+    n = len(s)
+    while i < n and depth:
+        ch = s[i]
+        if st.feed(ch):
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        i += 1
+    return i
+
+
 def _split_top(s: str, sep: str) -> list[str]:
     """Split on `sep` at bracket depth 0, outside <IRI>/"string" tokens."""
     out, start, depth = [], 0, 0
-    in_iri = in_str = esc = False
+    st = _TokenState()
     for i, ch in enumerate(s):
-        if in_iri:
-            in_iri = ch != ">"
-        elif in_str:
-            if esc:
-                esc = False
-            elif ch == "\\":
-                esc = True
-            else:
-                in_str = ch != '"'
-        elif ch == "<":
-            in_iri = True
-        elif ch == '"':
-            in_str = True
-        elif ch in "[(":
+        if not st.feed(ch):
+            continue
+        if ch in "[(":
             depth += 1
         elif ch in "])":
             depth -= 1
@@ -115,9 +182,7 @@ def _unescape(s: str) -> str:
 def parse_turtle_doc(doc: str) -> tuple[list[tuple], int]:
     """One Turtle document -> ([(subject, predicate, object, obj_kind)],
     skipped_object_count). Pure function (unit-testable without Spark)."""
-    prefixes = dict(
-        (p or "", iri) for p, iri in
-        re.findall(r"@prefix\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.", doc))
+    prefixes = ttl_prefixes(doc)
 
     def resolve(tok: str) -> str | None:
         m = _IRI_OR_PNAME.match(tok)
@@ -127,7 +192,9 @@ def parse_turtle_doc(doc: str) -> tuple[list[tuple], int]:
             return m.group(1)
         p, local = m.group(2).split(":", 1)
         base = prefixes.get(p)
-        return base + local if base is not None else m.group(2)
+        # undeclared prefix (typo'd pname): unresolvable -> skip + count,
+        # never emit the raw pname as a bogus IRI
+        return base + local if base is not None else None
 
     rows, skipped = [], 0
     for stmt in ttl_statements(doc):

@@ -150,6 +150,9 @@ def main():
     ]
     if scaled:
         rows = scaled.get("rows", {})
+        n_mentions = rows.get("mentions")
+        mention_txt = f"{n_mentions:,}" if isinstance(n_mentions, int) \
+            else "corpus-proportional"
         md += [
             "",
             f"## Vocabulary-scaled (vocab_mult={vocab}: shared-pool entity "
@@ -158,7 +161,7 @@ def main():
             f"Same corpus size, but the fixture's entity world is {vocab}x",
             "larger (QSE_BENCH_VOCAB; testdata shared-pool 3-word cores),",
             f"so linking/CC/canonicalize/stats operate on "
-            f"{rows.get('mentions', '?'):,} distinct mentions instead of "
+            f"{mention_txt} distinct mentions instead of "
             "the fixed-vocab run's few thousand — the back-half per-stage",
             "efficiencies below are measured on corpus-proportional work.",
             "",

@@ -291,3 +291,20 @@ def test_tfidf_pairs_reuse_weight_exchanges(spark):
     x = executed_plan_str(tfidf_cosine_pairs(
         docs, tau=0.1, id_col="doc_id", text_col="text"))
     assert "ReusedExchange" in x
+
+
+def test_simhash_clusters_single_signature_scan(spark):
+    """Review finding (round 4): simhash_dedup_clusters used to recompute
+    the token-explode signature scan — the operator's dominant cost — a
+    second time for the signature-0 star. The signature table is now
+    computed once and eagerly local-checkpointed, so the clusters plan
+    must contain ZERO xxhash64 signature recomputations (both consumers
+    read the pinned RDD)."""
+    from qse_spark.operators.dedup import simhash_dedup_clusters
+    from qse_spark.plans import explain_str
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} here") for i in range(10)] + [(99, "")],
+        ["doc_id", "text"])
+    s = explain_str(simhash_dedup_clusters(docs))
+    assert s.count("xxhash64") == 0, \
+        "signature scan recomputed instead of read from the checkpoint"

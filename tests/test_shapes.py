@@ -309,3 +309,50 @@ ex:a ex:score 0.25 ;
     assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
             "http://ex.org/Thing", "iri") in got
     assert skipped == 1 and len(rows) == 5
+
+
+def test_parse_turtle_doc_comments_and_undeclared_prefix():
+    """Review findings (round 4): '#' comments are stripped string-aware
+    (a comment never glues onto or splits a statement, quotes/brackets
+    inside comments never corrupt the scan, '#' inside IRIs and strings
+    is data), a commented-out @prefix never registers, and a pname with
+    an UNDECLARED prefix is skipped+counted — never emitted verbatim as
+    a bogus IRI."""
+    from qse_spark.sources.turtle import parse_turtle_doc, ttl_prefixes
+    doc = """# exported by tool — don't "quote" me . really
+@prefix ex: <http://ex.org/> .
+# @prefix bad: <http://bad.org/> .
+ex:a ex:p ex:b .   # trailing comment with ] and " inside
+ex:a ex:frag <http://ex.org/x#frag> .
+ex:a ex:lit "a # not comment" .
+"""
+    rows, skipped = parse_turtle_doc(doc)
+    assert skipped == 0 and len(rows) == 3
+    got = {(r[1], r[2], r[3]) for r in rows}
+    assert ("http://ex.org/frag", "http://ex.org/x#frag", "iri") in got
+    assert ("http://ex.org/lit", "a # not comment", "string") in got
+    assert "bad" not in ttl_prefixes(doc)
+
+    rows2, skipped2 = parse_turtle_doc(
+        "@prefix ex: <http://ex.org/> .\nex:a ex:p exx:b .\n")
+    assert rows2 == [] and skipped2 == 1
+
+
+def test_parse_ttl_shape_doc_quoted_brackets_and_comments():
+    """Review finding (round 4): the inline blank-node close scan is
+    string-aware — a ']' inside a quoted literal (sh:message) never
+    truncates the sh:property body, so its sh:path is still captured."""
+    from qse_spark.shapes import _parse_ttl_shape_doc
+    doc = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://ex.org/> .
+# a comment with ] and " inside
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:T ;
+  sh:property [ sh:message "see ] in docs" ; sh:path ex:x ] ;
+  sh:property [ sh:path ex:y ] .
+"""
+    rows = _parse_ttl_shape_doc(doc)
+    assert {(s, k) for t, s, k in rows if t == "NS"} == \
+        {("http://ex.org/S", "http://ex.org/T")}
+    assert {k for t, s, k in rows if t == "PS"} == \
+        {"http://ex.org/x", "http://ex.org/y"}
