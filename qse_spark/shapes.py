@@ -451,7 +451,7 @@ def _parse_ttl_shape_doc(doc: str) -> list[tuple[str, str, str]]:
     (Turtle gives them no stable name; the key column is what P/R needs)."""
     import re as _re
 
-    from .sources.turtle import (ttl_bracket_end, ttl_prefixes,
+    from .sources.turtle import (mask_string_bodies, ttl_prefixes,
                                  ttl_statements as _ttl_statements)
 
     prefixes = ttl_prefixes(doc)
@@ -474,25 +474,35 @@ def _parse_ttl_shape_doc(doc: str) -> list[tuple[str, str, str]]:
     for stmt in _ttl_statements(doc):
         if stmt.startswith("@prefix"):
             continue
-        m = _re.match(iri_or_pname, stmt)
+        # ALL regex extraction runs over the string-MASKED statement:
+        # example annotations carry raw transcript text, so a literal
+        # like "user wrote: sh:path <http://evil/x>" must never inject
+        # shape keys (round-4 review finding). Masking is same-length, so
+        # bracket-scan indices stay valid, and every captured token is by
+        # construction outside string literals (identical in both texts).
+        mstmt = mask_string_bodies(stmt)
+        m = _re.match(iri_or_pname, mstmt)
         if not m:
             continue
         subj = term(m.group(1))
         types = {term(t) for t in
-                 _re.findall(r"\ba\s+" + iri_or_pname, stmt)}
+                 _re.findall(r"\ba\s+" + iri_or_pname, mstmt)}
         if sh_ns + "NodeShape" in types:
-            for t in tc_re.findall(stmt):
+            for t in tc_re.findall(mstmt):
                 rows.append(("NS", subj, term(t)))
             # inline blank-node property shapes: [ ... sh:path X ... ];
-            # string-aware close scan — a ']'/'[' inside a quoted literal
-            # (e.g. sh:message "see ] in docs") never moves the depth
-            for pm in prop_re.finditer(stmt):
-                i = ttl_bracket_end(stmt, pm.end())
-                body = stmt[pm.end():i - 1]
+            # brackets inside quoted literals are blanked by the mask, so
+            # a plain depth scan is string-safe here
+            for pm in prop_re.finditer(mstmt):
+                i, depth = pm.end(), 1
+                while i < len(mstmt) and depth:
+                    depth += {"[": 1, "]": -1}.get(mstmt[i], 0)
+                    i += 1
+                body = mstmt[pm.end():i - 1]
                 for t in path_re.findall(body):
                     rows.append(("PS", f"_:{subj}/{term(t)}", term(t)))
         if sh_ns + "PropertyShape" in types:
-            for t in path_re.findall(stmt):
+            for t in path_re.findall(mstmt):
                 rows.append(("PS", subj, term(t)))
     return rows
 

@@ -6,12 +6,16 @@ The reference consumes its corpus as line-oriented N-Triples
 (`/root/reference/validation/example/example_data.ttl`,
 `example_shapes.ttl`) and emits Turtle shapes
 (`TurtlePrettyFormatter.java`) — this reader is what lets the engine load
-those files directly. It is a deliberate SUBSET: @prefix resolution,
+those files directly. It is a deliberate SUBSET: @prefix/PREFIX
+resolution, @base/BASE with simple-concatenation relative-IRI resolution,
 `;`/`,` predicate-object lists, typed/lang literals, bare numeric and
-boolean literals, `a` as rdf:type, '#' comments (stripped string-aware).
-No collections-as-objects at the data level, no nested blank-node OBJECTS
-and no pnames with undeclared prefixes (both are skipped with a counter
-column, never silently mangled), no triple-quoted strings.
+boolean literals, `a` as rdf:type, '#' comments (stripped string-aware;
+declaration regexes additionally run over string-MASKED text so literal
+content can never forge a namespace binding). No collections-as-objects
+at the data level, no nested blank-node OBJECTS, no pnames with
+undeclared prefixes and no relative IRIs without a declared base (all
+skipped with a counter column, never silently mangled), no triple-quoted
+strings.
 
 Scale note: Turtle is not line-splittable, so each FILE is one parse task
 (wholetext + mapInPandas). That is the right trade for what Turtle holds
@@ -36,6 +40,8 @@ _LITERAL = re.compile(
     r"(?:@([A-Za-z]+(?:-[A-Za-z0-9]+)*)"         # @lang
     r"|\^\^(?:<([^>]*)>|(" + _PNAME + r")))?$")  # ^^<dt> | ^^p:dt
 _ECHAR = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")   # has a URI scheme
 
 _INT_KINDS = {"int", "integer", "long", "short", "nonnegativeinteger",
               "decimal"}
@@ -72,6 +78,20 @@ class _TokenState:
         return False
 
 
+def mask_string_bodies(doc: str) -> str:
+    """Same-length copy of doc with every "string" token (quotes included)
+    blanked to spaces; <IRI> tokens left intact. Regexes for declarations
+    and shape predicates run over THIS text, so corpus-controlled literal
+    content can never forge an @prefix binding or inject sh:path /
+    sh:targetClass keys — indices map 1:1 back to the original."""
+    out, st = [], _TokenState()
+    for ch in doc:
+        was = st.in_str
+        st.feed(ch)
+        out.append(" " if (was or st.in_str) else ch)
+    return "".join(out)
+
+
 def strip_ttl_comments(doc: str) -> str:
     """Remove '#'-to-end-of-line comments (structural '#' only: a '#'
     inside an <IRI> fragment or a "string" body is data, not a comment).
@@ -98,13 +118,37 @@ def strip_ttl_comments(doc: str) -> str:
     return "".join(out)
 
 
+# SPARQL-style declarations are self-delimiting (no '.' terminator), so the
+# statement splitter must excise them or they glue onto the next statement
+# and silently swallow it. Spans are located on the STRING-MASKED text (a
+# literal spanning a whole line can never match) and spliced out of the
+# real text (same length, indices map 1:1).
+_SPARQL_DECL = re.compile(
+    r"(?mi)^[ \t]*(?:PREFIX[ \t]+[A-Za-z][\w.-]*:[ \t]*<[^>]*>"
+    r"|BASE[ \t]+<[^>]*>)[ \t]*\r?$")
+
+
+def _strip_sparql_decls(doc: str) -> str:
+    masked = mask_string_bodies(doc)
+    spans = [m.span() for m in _SPARQL_DECL.finditer(masked)]
+    if not spans:
+        return doc
+    out, prev = [], 0
+    for a, b in spans:
+        out.append(doc[prev:a])
+        prev = b
+    out.append(doc[prev:])
+    return "".join(out)
+
+
 def ttl_statements(doc: str) -> list[str]:
     """Split a Turtle document into top-level statements: a '.' terminates
     a statement only at bracket depth 0, outside <IRI> and "string" tokens,
     and when followed by whitespace/EOF (so decimals never split).
     '#' comments are stripped first (string-aware), so comments adjacent
-    to statements never glue onto or split them."""
-    doc = strip_ttl_comments(doc)
+    to statements never glue onto or split them; dot-less SPARQL-style
+    PREFIX/BASE declaration lines are excised for the same reason."""
+    doc = _strip_sparql_decls(strip_ttl_comments(doc))
     out, start, depth = [], 0, 0
     st = _TokenState()
     for i, ch in enumerate(doc):
@@ -128,14 +172,26 @@ def ttl_statements(doc: str) -> list[str]:
 
 def ttl_prefixes(doc: str) -> dict[str, str]:
     """@prefix / SPARQL-style PREFIX declarations -> {prefix: base IRI}
-    ('' key for the default prefix). Comment-stripped first, so a
-    commented-out declaration never registers. Shared with
-    shapes._parse_ttl_shape_doc so the data path and the shapes-parity
-    path can never drift on prefix resolution."""
+    ('' key for the default prefix). Comment-stripped AND string-masked
+    first, so neither a commented-out declaration nor one quoted inside a
+    corpus-controlled literal ever registers (literal text forging or
+    overriding a namespace binding was a round-4 review finding). Shared
+    with shapes._parse_ttl_shape_doc so the data path and the
+    shapes-parity path can never drift on prefix resolution."""
     return {
         (p or ""): iri for p, iri in
         re.findall(r"(?:@prefix|PREFIX)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>",
-                   strip_ttl_comments(doc))}
+                   mask_string_bodies(strip_ttl_comments(doc)))}
+
+
+def ttl_base(doc: str) -> str | None:
+    """First @base / SPARQL-style BASE declaration's IRI, or None.
+    Comment-stripped and string-masked like ttl_prefixes. Subset note:
+    one base per document (the reference's artifacts use at most one);
+    mid-document re-declarations are not scoped."""
+    m = re.search(r"(?:@base|BASE)\s*<([^>]*)>",
+                  mask_string_bodies(strip_ttl_comments(doc)))
+    return m.group(1) if m else None
 
 
 def ttl_bracket_end(s: str, i: int, depth: int = 1) -> int:
@@ -183,18 +239,25 @@ def parse_turtle_doc(doc: str) -> tuple[list[tuple], int]:
     """One Turtle document -> ([(subject, predicate, object, obj_kind)],
     skipped_object_count). Pure function (unit-testable without Spark)."""
     prefixes = ttl_prefixes(doc)
+    base = ttl_base(doc)
 
     def resolve(tok: str) -> str | None:
         m = _IRI_OR_PNAME.match(tok)
         if not m:
             return None
         if m.group(1) is not None:
-            return m.group(1)
+            iri = m.group(1)
+            if _ABS_IRI.match(iri):
+                return iri
+            # scheme-less (relative) IRI: simple concatenation against a
+            # declared base; without one it is unresolvable -> skip+count,
+            # never emitted verbatim as a corrupt entity id
+            return base + iri if base is not None else None
         p, local = m.group(2).split(":", 1)
-        base = prefixes.get(p)
+        ns = prefixes.get(p)
         # undeclared prefix (typo'd pname): unresolvable -> skip + count,
         # never emit the raw pname as a bogus IRI
-        return base + local if base is not None else None
+        return ns + local if ns is not None else None
 
     rows, skipped = [], 0
     for stmt in ttl_statements(doc):

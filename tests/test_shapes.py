@@ -356,3 +356,56 @@ ex:S a sh:NodeShape ;
         {("http://ex.org/S", "http://ex.org/T")}
     assert {k for t, s, k in rows if t == "PS"} == \
         {"http://ex.org/x", "http://ex.org/y"}
+
+
+def test_parse_turtle_doc_sparql_decls_base_and_literal_forgery():
+    """Review findings (round 4, second batch): dot-less SPARQL-style
+    PREFIX lines never glue onto (and swallow) the next statement; a
+    declaration quoted inside a literal never registers or overrides a
+    prefix; relative IRIs resolve against @base when declared and are
+    skipped+counted when not."""
+    from qse_spark.sources.turtle import (parse_turtle_doc, ttl_base,
+                                          ttl_prefixes)
+    doc = "PREFIX ex: <http://ex.org/>\nex:a ex:p ex:b .\nex:c ex:p ex:d .\n"
+    rows, sk = parse_turtle_doc(doc)
+    assert len(rows) == 2 and sk == 0
+
+    forged = ('@prefix ex: <http://ex.org/> .\n'
+              'ex:a ex:note "declare @prefix tmp: <http://t.org/> here" .\n'
+              'ex:a ex:p tmp:x .\n'
+              'ex:a ex:note2 "@prefix ex: <http://evil.org/> ." .\n')
+    rows2, sk2 = parse_turtle_doc(forged)
+    assert "tmp" not in ttl_prefixes(forged)
+    assert sk2 == 1                       # tmp:x skipped, not mangled
+    assert all(r[0] == "http://ex.org/a" for r in rows2)   # no override
+
+    rows3, sk3 = parse_turtle_doc(
+        "@base <http://ex.org/> .\n<alice> a <Person> .\n")
+    assert rows3 == [("http://ex.org/alice",
+                      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                      "http://ex.org/Person", "iri")] and sk3 == 0
+    rows4, sk4 = parse_turtle_doc("<alice> a <Person> .\n")
+    assert rows4 == [] and sk4 == 1       # no base -> skip, not verbatim
+    assert ttl_base("BASE <http://b.org/>\nx:a x:b x:c .") == "http://b.org/"
+
+
+def test_parse_ttl_shape_doc_literal_injection_rejected():
+    """Review finding (round 4): example annotations carry raw transcript
+    text — sh:path / sh:targetClass / 'a <type>' tokens inside string
+    literals must never inject shape keys into read_ttl_shapes output."""
+    from qse_spark.shapes import _parse_ttl_shape_doc
+    doc = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://ex.org/> .
+ex:P a sh:PropertyShape ;
+  sh:path ex:real ;
+  <http://example.org/example> "user wrote: sh:path <http://evil/x>" .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:T ;
+  <http://example.org/example> "try sh:targetClass <http://evil/T> now" .
+"""
+    rows = _parse_ttl_shape_doc(doc)
+    ks = {(t, k) for t, s, k in rows}
+    assert ("PS", "http://evil/x") not in ks
+    assert ("NS", "http://evil/T") not in ks
+    assert ("PS", "http://ex.org/real") in ks
+    assert ("NS", "http://ex.org/T") in ks
