@@ -8,9 +8,12 @@ Spark SQL expressions — no Python in the hot path:
   pass 1  minhash/LSH: 3-gram character shingles of each distinct core ->
           H=B*R minhash values (xxhash64(shingle, seed)) -> B band keys ->
           equi-self-join on band key -> candidate core pairs.
-  pass 2  token block: cores sharing a full (non-decoration) token are also
-          candidates — guarantees recall for suffix-extended aliases that a
-          probabilistic LSH band could miss.
+  pass 2  rare-token block: cores sharing a full RARE token (document
+          frequency <= token_max_df) are also candidates — a recall
+          backstop for suffix-extended aliases a probabilistic LSH band
+          could miss; hot tokens are excluded because their blocks are
+          quadratic and their true matches are high-Jaccard, i.e. LSH's
+          job (see _candidate_pairs).
 
 Every candidate pair is then verified with the exact 3-gram Jaccard
 (array_intersect over the per-core shingle arrays) and kept iff
@@ -37,6 +40,10 @@ from ..functions.columns import shingles_col, strip_core_col
 DEFAULT_TAU = 0.55
 DEFAULT_BANDS = 12
 DEFAULT_ROWS_PER_BAND = 3
+# token-block recall backstop: only tokens in <= this many cores form
+# blocks (see _candidate_pairs — hot tokens are LSH's job, and their
+# blocks are quadratic)
+DEFAULT_TOKEN_MAX_DF = 64
 
 
 def mention_cores(mentions: DataFrame) -> DataFrame:
@@ -64,19 +71,38 @@ def _band_keys(sh: DataFrame, bands: int, rows: int) -> DataFrame:
 
 
 def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
-                     max_block: int) -> DataFrame:
-    """Distinct candidate (a, b) core pairs, a < b, via LSH ∪ token blocks.
-    `sh` is the cached (core, sh) shingle table."""
+                     max_block: int,
+                     token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
+    """Distinct candidate (a, b) core pairs, a < b, via LSH ∪ rare-token
+    blocks. `sh` is the cached (core, sh) shingle table.
+
+    The token pass is a recall BACKSTOP for the regime where a
+    probabilistic LSH band can mathematically miss: short surface forms
+    whose alias variants sit near tau. It is restricted to RARE tokens
+    (document frequency <= token_max_df): a token shared by hundreds of
+    cores generates df² candidate pairs of which essentially none reach
+    tau — and any hot-token pair that COULD reach tau must share most of
+    its remaining characters, i.e. has high shingle-Jaccard, which the
+    LSH pass catches with near-certainty (p = 1-(1-J^rows)^bands ≥ 0.99
+    at J ≥ 0.7). Without the df cap a shared-vocabulary mention world
+    (pool words appearing in ~10² cores each, the realistic shape at
+    corpus scale) makes this pass quadratic: measured 48M candidate
+    pairs / minutes of single-core verify on a 145K-mention world where
+    the LSH pass alone links every alias cluster exactly (round-4
+    vocabulary-scaled bench)."""
     lsh_keys = _band_keys(sh, bands, rows)
 
-    # token blocks: every full token is a block key (band = -1 namespace) —
-    # guarantees recall for suffix-extended aliases regardless of LSH luck.
-    tok_keys = sh.select(
+    toks = sh.select(
         F.col("core"),
         F.lit(-1).alias("band"),
         F.explode(F.split("core", "_")).alias("tok")
-    ).filter(F.length("tok") > 0).select(
-        "core", "band", F.xxhash64("tok").alias("key")).distinct()
+    ).filter(F.length("tok") > 0).distinct()
+    # no broadcast hint: the rare-token dim is token-vocabulary-sized —
+    # unbounded at corpus scale — so AQE picks the join strategy
+    rare = (toks.groupBy("tok").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= token_max_df))
+    tok_keys = (toks.join(rare, "tok")
+                .select("core", "band", F.xxhash64("tok").alias("key")))
 
     keys = lsh_keys.unionByName(tok_keys)
 
@@ -103,10 +129,11 @@ def blocking_report(cores: DataFrame, bands: int = DEFAULT_BANDS,
 
 
 def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
-                 max_block: int) -> DataFrame:
+                 max_block: int,
+                 token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
     """Verified fuzzy core pairs from a cached (core, sh, n) table."""
     cand = _candidate_pairs(sh_dim.select("core", "sh"), bands, rows,
-                            max_block)
+                            max_block, token_max_df)
     a_sh = sh_dim.select(F.col("core").alias("a"), F.col("sh").alias("sh_a"),
                          F.col("n").alias("n_a"))
     b_sh = sh_dim.select(F.col("core").alias("b"), F.col("sh").alias("sh_b"),
@@ -121,13 +148,15 @@ def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
 
 
 def _tfidf_shingle_links(sh_dim: DataFrame, tau: float, bands: int,
-                         rows: int, max_block: int) -> DataFrame:
+                         rows: int, max_block: int,
+                         token_max_df: int = DEFAULT_TOKEN_MAX_DF
+                         ) -> DataFrame:
     """TF-IDF cosine verify over the same LSH candidates, with the 3-gram
     shingles as terms (so single-token typo aliases still overlap, unlike
     full-token terms). idf down-weights near-stopword grams, which plain
     Jaccard counts at full weight — the scorer the north star names."""
     cand = _candidate_pairs(sh_dim.select("core", "sh"), bands, rows,
-                            max_block)
+                            max_block, token_max_df)
     terms = sh_dim.select(F.col("core").alias("id"),
                           F.explode("sh").alias("tok"))
     ww = _weights_from_terms(terms, sh_dim.count(), max_df=2 ** 31 - 1)
@@ -148,7 +177,8 @@ def link_mentions(mentions: DataFrame, tau: float = DEFAULT_TAU,
                   bands: int = DEFAULT_BANDS,
                   rows: int = DEFAULT_ROWS_PER_BAND,
                   max_block: int = 2000,
-                  scorer: str = "jaccard") -> DataFrame:
+                  scorer: str = "jaccard",
+                  token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
     """mentions(mention_id) -> fuzzy core links(src, dst, score>=tau).
     scorer: 'jaccard' (exact 3-gram Jaccard, the gold-pinned default) or
     'tfidf' (idf-weighted cosine over the same shingle terms)."""
@@ -159,15 +189,17 @@ def link_mentions(mentions: DataFrame, tau: float = DEFAULT_TAU,
               .withColumn("n", F.size("sh"))
               .localCheckpoint(eager=True))
     if scorer == "tfidf":
-        return _tfidf_shingle_links(sh_dim, tau, bands, rows, max_block)
-    return _fuzzy_links(sh_dim, tau, bands, rows, max_block)
+        return _tfidf_shingle_links(sh_dim, tau, bands, rows, max_block,
+                                    token_max_df)
+    return _fuzzy_links(sh_dim, tau, bands, rows, max_block, token_max_df)
 
 
 def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
                   bands: int = DEFAULT_BANDS,
                   rows: int = DEFAULT_ROWS_PER_BAND,
                   max_block: int = 2000,
-                  scorer: str = "jaccard") -> DataFrame:
+                  scorer: str = "jaccard",
+                  token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
     """Full CC input: fuzzy core-core edges ∪ mention->core edges.
 
     Core node ids live in the same string space as mention ids (a core IS a
@@ -204,9 +236,15 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
     # the ~8 tiny LSH stages don't each pay a full-width shuffle. The count
     # is one cheap action against the checkpointed table, and the coalesce
     # is a narrow re-read of the checkpoint blocks per consumer.
+    # Width ~ one partition per 8K cores (each core pays ~20 shingles x
+    # bands*rows minhashes in the signature map stage — at 50K/partition
+    # that stage ran on 2 of 4 executors and capped linking efficiency at
+    # 0.72 in the round-4 vocabulary-scaled measurement), bounded by the
+    # cluster's parallelism so tiny vocabularies stay single-partition
+    # (stage-latency-optimal at the driver-bench scale).
     n_cores = sh_dim.count()
     npart = max(1, min(mentions.sparkSession.sparkContext.defaultParallelism,
-                       n_cores // 50_000 + 1))
+                       n_cores // 8_000))
     sh_dim = sh_dim.coalesce(npart)
     core_node = F.concat(F.lit("\x7f"), F.col("core"))
     proj = cores.select(F.col("mention_id").alias("src"),
@@ -214,7 +252,8 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
                         F.lit(1.0).alias("score"))
     score_fn = (_tfidf_shingle_links if scorer == "tfidf"
                 else _fuzzy_links)
-    fuzzy = score_fn(sh_dim, tau, bands, rows, max_block).select(
+    fuzzy = score_fn(sh_dim, tau, bands, rows, max_block,
+                     token_max_df=token_max_df).select(
         F.concat(F.lit("\x7f"), F.col("src")).alias("src"),
         F.concat(F.lit("\x7f"), F.col("dst")).alias("dst"),
         "score")

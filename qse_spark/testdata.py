@@ -262,8 +262,21 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
           "object": [], "obj_kind": []}
     mention_sets: dict[str, set] = {}
 
+    # vocab_mult == 1 (correctness fixtures): pure Zipf picks — small
+    # ranks hot, exercises skew handling. vocab_mult > 1 (bench-scaling
+    # world): half the picks are UNIFORM so the observed mention
+    # vocabulary actually grows with the entity pool — pure Zipf leaves
+    # the 16x pool ~87% unvisited (round-4 measurement: 16,130 mentions
+    # from a 48,000-entity world), which defeats the point of the
+    # vocabulary-scaled benchmark. The short-circuit keeps the
+    # vocab_mult=1 RNG stream byte-identical to earlier versions.
+    uniform_frac = 0.5 if m > 1 else 0.0
+
     def pick(group):
-        e = group[_zipf_pick(rng, len(group))]
+        if uniform_frac and rng.random() < uniform_frac:
+            e = group[int(rng.integers(len(group)))]
+        else:
+            e = group[_zipf_pick(rng, len(group))]
         alias = e["aliases"][int(rng.integers(len(e["aliases"])))]
         return e, alias
 
@@ -441,7 +454,10 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
         json.dump({"seed": seed, "n_turns": n_turns, "n_persons": n_persons,
                    "n_orgs": n_orgs, "n_cities": n_cities,
                    "n_projects": n_projects, "vocab_mult": vocab_mult,
-                   "version": 4}, f)
+                   # v1 worlds are byte-identical across versions 4/5 (the
+                   # uniform-mixture pick is short-circuited off), so only
+                   # the vocab-scaled worlds carry the bumped version
+                   "version": 4 if m == 1 else 5}, f)
     return out_dir
 
 
@@ -452,9 +468,10 @@ def ensure_fixture(seed: int = 42, n_turns: int = 2000,
         (f"_v{vocab_mult}" if vocab_mult > 1 else "")
     out_dir = os.path.join(FIXTURE_ROOT, tag)
     meta = os.path.join(out_dir, "meta.json")
+    want = 4 if vocab_mult <= 1 else 5
     if os.path.exists(meta):
         with open(meta) as f:
-            if json.load(f).get("version") == 4:
+            if json.load(f).get("version") == want:
                 return out_dir
     return generate(seed=seed, n_turns=n_turns, out_dir=out_dir,
                     vocab_mult=vocab_mult)

@@ -115,18 +115,12 @@ def _pair_table(report: dict) -> list[str]:
     return md
 
 
-def main():
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    vocab = int(sys.argv[4]) if len(sys.argv) > 4 else 16
-    fixed = scale_pair(n_turns, sf_dir, replicate, vocab=1)
-    print(json.dumps(fixed, indent=1))
-    scaled = scale_pair(n_turns, sf_dir, replicate, vocab=vocab) \
-        if vocab > 1 else None
-    if scaled:
-        print(json.dumps(scaled, indent=1))
-    total = n_turns * replicate
+def render_report(fixed: dict, scaled: dict | None, total: int,
+                  vocab: int) -> None:
+    """Rewrite BENCH_SCALING.md from two measured pairs. Separate from
+    main() so a polluted pair can be re-measured alone and merged with
+    the other pair's prior JSON instead of re-running both (each pair is
+    ~30 min of wall time)."""
     md = [
         "# BENCH_SCALING — two-parallelism throughput evidence",
         "",
@@ -199,6 +193,20 @@ def main():
                       f"{round(base / s / int(n), 2)} |")
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write("\n".join(md) + "\n")
+
+
+def main():
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    vocab = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    fixed = scale_pair(n_turns, sf_dir, replicate, vocab=1)
+    print(json.dumps(fixed, indent=1))
+    scaled = scale_pair(n_turns, sf_dir, replicate, vocab=vocab) \
+        if vocab > 1 else None
+    if scaled:
+        print(json.dumps(scaled, indent=1))
+    render_report(fixed, scaled, n_turns * replicate, vocab)
 
 
 if __name__ == "__main__":

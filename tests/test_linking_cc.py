@@ -167,3 +167,45 @@ def test_tfidf_scorer_reconstructs_gold_clusters(spark, fixture_dir, mentions):
     precision = inter / len(got)
     recall = inter / len(gold)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_hot_token_blocks_excluded_but_alias_recall_kept(spark):
+    """Round-4 scale fix: the token-block recall pass only fires for RARE
+    tokens (df <= token_max_df). A shared word appearing in many cores
+    must NOT generate its quadratic candidate block, while alias variants
+    of one entity (which share rare distinctive words / high shingle
+    Jaccard) still link. Pure-zipf worlds never hit this; the shared-pool
+    bench world measured 48M candidates without the cap."""
+    from qse_spark.operators.linking import _candidate_pairs
+    from qse_spark.functions.columns import shingles_col
+    # 80 cores all sharing the hot word 'shared'; distinctive tails are
+    # pairwise-dissimilar coined words (distinct syllable pairs), so LSH
+    # correctly proposes almost none of the C(80,2) hot-block pairs
+    syl = ["ba", "ce", "di", "fo", "gu", "ka", "le", "mi", "no", "pu",
+           "ra", "se", "ti", "vo", "wu", "za", "je", "hy", "qo", "xi"]
+    tails = [syl[i] + syl[j] + syl[(i * 7 + j * 3) % 20]
+             for i in range(20) for j in range(4)]
+    hot = [(f"shared_{t}",) for t in tails]
+    # one alias family sharing the rare word 'zephyrine'
+    fam = [("zephyrine_quill",), ("dr_zephyrine_quill",),
+           ("zephyrine_quillson",)]
+    cores = spark.createDataFrame(hot + fam, ["core"])
+    sh = cores.select("core", shingles_col("core").alias("sh"))
+
+    def pair_set(cap):
+        cand = _candidate_pairs(sh, bands=12, rows=3, max_block=2000,
+                                token_max_df=cap)
+        return {(r["a"], r["b"]) for r in cand.collect()}
+
+    capped = pair_set(8)
+    uncapped = pair_set(10 ** 9)
+    # without the cap the hot-word block contributes ALL C(80,2) = 3160
+    # pairs; with it, only LSH's (verifiable, high-overlap) proposals
+    # remain — measured 862 vs 3163 on this fixture
+    assert uncapped.issuperset(capped)
+    assert len(capped) < 0.4 * len(uncapped), (len(capped), len(uncapped))
+    # the rare-word alias family is fully covered by the token backstop
+    fam_ids = sorted(c for (c,) in fam)
+    for i in range(len(fam_ids)):
+        for j in range(i + 1, len(fam_ids)):
+            assert (fam_ids[i], fam_ids[j]) in capped
