@@ -128,6 +128,20 @@ def blocking_report(cores: DataFrame, bands: int = DEFAULT_BANDS,
             .filter(F.col("count") > max_block))
 
 
+def dropped_token_report(cores: DataFrame,
+                         token_max_df: int = DEFAULT_TOKEN_MAX_DF
+                         ) -> DataFrame:
+    """(tok, df) for tokens the rare-token backstop skips (df > cap) —
+    the same drops-are-observable contract as blocking_report /
+    dropped_chunk_report: a hot token here means its candidate block was
+    left to the LSH pass, never silently truncated."""
+    toks = (cores.select(
+        "core", F.explode(F.split("core", "_")).alias("tok"))
+        .filter(F.length("tok") > 0).distinct())
+    return (toks.groupBy("tok").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > token_max_df))
+
+
 def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
                  max_block: int,
                  token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:

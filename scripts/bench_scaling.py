@@ -161,6 +161,19 @@ def render_report(fixed: dict, scaled: dict | None, total: int,
             "",
         ]
         md += _pair_table(scaled)
+        md += [
+            "",
+            "Reading the back-half rows: extraction and linking are the",
+            "corpus/vocabulary-proportional stages and both scale (linking",
+            "is the LSH self-join + Jaccard verify — real compute, not",
+            "scheduler latency, at this vocabulary). CC's flat ratio is",
+            "DELIBERATE: below 500K edges connected_components picks the",
+            "driver union-find hybrid (cc.py), which is wall-clock-optimal",
+            "at this size and identical-output; the distributed star-round",
+            "path engages above the threshold (pytest-equivalence-tested).",
+            "Canonicalize/stats run in low single-digit seconds on the",
+            "aggregate — still latency-bound at 4 executors.",
+        ]
     md += [
         "",
         "```json",

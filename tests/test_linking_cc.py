@@ -209,3 +209,16 @@ def test_hot_token_blocks_excluded_but_alias_recall_kept(spark):
     for i in range(len(fam_ids)):
         for j in range(i + 1, len(fam_ids)):
             assert (fam_ids[i], fam_ids[j]) in capped
+
+
+def test_dropped_token_report_flags_hot_tokens(spark):
+    """Drops-are-observable contract for the rare-token backstop: a token
+    above the df cap appears in the report; rare tokens do not."""
+    from qse_spark.operators.linking import dropped_token_report
+    cores = spark.createDataFrame(
+        [(f"hotword_tail{i:02d}",) for i in range(10)]
+        + [("rareword_quill",)], ["core"])
+    rep = {r["tok"]: r["df"]
+           for r in dropped_token_report(cores, token_max_df=4).collect()}
+    assert rep.get("hotword") == 10
+    assert "rareword" not in rep and "quill" not in rep
