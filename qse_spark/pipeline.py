@@ -35,6 +35,7 @@ class PipelineConfig:
     bands: int = 12
     rows_per_band: int = 3
     max_block: int = 2000
+    token_max_df: int = 64             # rare-token recall backstop df cap
     salt: int = 0                      # conversation-salt partitions (0 = off)
     scorer: str = "jaccard"            # linking verify: 'jaccard' | 'tfidf'
     type_predicate: str = TYPE_PREDICATE
@@ -136,11 +137,12 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
     groups, h2 = _stage("triple_groups", h1, [],
                         lambda: group_triples(triples))
     links, h3 = _stage(
-        "links", h2, ["tau", "bands", "rows_per_band", "max_block", "scorer"],
+        "links", h2, ["tau", "bands", "rows_per_band", "max_block",
+                      "token_max_df", "scorer"],
         lambda: linking_edges(
             mentions_from_triples(groups), tau=cfg.tau, bands=cfg.bands,
             rows=cfg.rows_per_band, max_block=cfg.max_block,
-            scorer=cfg.scorer))
+            scorer=cfg.scorer, token_max_df=cfg.token_max_df))
     cmap, h4 = _stage("canonical_map", h3, [],
                       lambda: canonical_map(links))
     canon, h5 = _stage("canonical_triples", h4, ["max_broadcast_rows"],

@@ -28,6 +28,9 @@ def main():
                          "text, tool, ts)")
     ap.add_argument("--workdir", default="/tmp/qse-pipeline-work")
     ap.add_argument("--tau", type=float, default=0.55)
+    ap.add_argument("--token-max-df", type=int, default=64,
+                    help="rare-token recall backstop: only tokens in <= "
+                         "this many cores form candidate blocks")
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--scorer", choices=["jaccard", "tfidf"],
                     default="jaccard")
@@ -65,6 +68,7 @@ def main():
     out = run_pipeline(spark, inp, workdir=args.workdir,
                        config=PipelineConfig(
                            tau=args.tau, salt=args.salt, scorer=args.scorer,
+                           token_max_df=args.token_max_df,
                            approx=args.approx,
                            approx_max_cap=args.approx_max_cap,
                            approx_target_pct=args.approx_target_pct),
