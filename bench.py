@@ -77,8 +77,15 @@ def main():
         # measurement (a real cluster reads from distributed storage)
         root = "/dev/shm/qse-bench-input" if os.path.isdir("/dev/shm") \
             else "/root/repo/.bench_work"
+        # fixture GENERATOR version is part of the cache key: the derived
+        # replicated dir must invalidate when the world's content changes
+        # (e.g. the round-4 uniform-mixture vocab worlds bumped v4 -> v5),
+        # not just when (n_turns, replicate, vocab) change
+        with open(os.path.join(fx, "meta.json")) as _f:
+            _gen_ver = json.load(_f).get("version", 0)
         big = os.path.join(root, f"turns{n_turns}x{replicate}" +
-                           (f"v{vocab_mult}" if vocab_mult > 1 else ""))
+                           (f"v{vocab_mult}g{_gen_ver}"
+                            if vocab_mult > 1 else ""))
         if not os.path.exists(os.path.join(big, "_SUCCESS")):
             base = spark.read.parquet(in_path)
             (base.withColumn("_r", F.explode(F.sequence(F.lit(1),
@@ -124,7 +131,8 @@ def main():
     t = time.time()
     links = linking_edges(mentions_from_triples(groups), tau=cfg.tau,
                           bands=cfg.bands, rows=cfg.rows_per_band,
-                          max_block=cfg.max_block).persist()
+                          max_block=cfg.max_block,
+                          token_max_df=cfg.token_max_df).persist()
     links.count()
     q["p2_linking"] = time.time() - t
 

@@ -70,6 +70,20 @@ def _band_keys(sh: DataFrame, bands: int, rows: int) -> DataFrame:
                     F.col("bk.key").alias("key")))
 
 
+def _core_tokens(cores: DataFrame) -> DataFrame:
+    """Distinct (core, tok) full-token rows — THE tokenization of the
+    rare-token pass, shared by _candidate_pairs and dropped_token_report
+    so the drops-observable audit can never drift from the real pass."""
+    return (cores.select(
+        "core", F.explode(F.split("core", "_")).alias("tok"))
+        .filter(F.length("tok") > 0).distinct())
+
+
+def _token_df(toks: DataFrame) -> DataFrame:
+    """(tok, df) document frequency over distinct (core, tok) rows."""
+    return toks.groupBy("tok").agg(F.count("*").alias("df"))
+
+
 def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
                      max_block: int,
                      token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
@@ -81,28 +95,28 @@ def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
     whose alias variants sit near tau. It is restricted to RARE tokens
     (document frequency <= token_max_df): a token shared by hundreds of
     cores generates df² candidate pairs of which essentially none reach
-    tau — and any hot-token pair that COULD reach tau must share most of
-    its remaining characters, i.e. has high shingle-Jaccard, which the
-    LSH pass catches with near-certainty (p = 1-(1-J^rows)^bands ≥ 0.99
-    at J ≥ 0.7). Without the df cap a shared-vocabulary mention world
-    (pool words appearing in ~10² cores each, the realistic shape at
-    corpus scale) makes this pass quadratic: measured 48M candidate
-    pairs / minutes of single-core verify on a 145K-mention world where
-    the LSH pass alone links every alias cluster exactly (round-4
-    vocabulary-scaled bench)."""
+    tau. The trade, stated precisely: a true pair whose ONLY shared
+    token is hot now relies on LSH alone, whose hit probability
+    1-(1-J^rows)^bands is 0.887 at J = tau = 0.55 (defaults 12x3),
+    0.97 at J = 0.62, ≥ 0.99 at J ≥ 0.7 — so up to ~11% of
+    borderline-J, hot-token-only true pairs are probabilistically
+    missed where the uncapped pass guaranteed them. That narrow class
+    is a vanishing fraction of true alias pairs (alias variants share
+    rare distinctive tokens and/or high-J cores), and the uncapped
+    alternative is quadratic: measured 48M candidate pairs / minutes of
+    single-core verify on a 145K-mention shared-vocabulary world
+    (round-4 bench) where LSH alone still linked every alias cluster
+    exactly. Raise `bands` (recall) or `token_max_df` (backstop width)
+    to buy recall with compute."""
     lsh_keys = _band_keys(sh, bands, rows)
 
-    toks = sh.select(
-        F.col("core"),
-        F.lit(-1).alias("band"),
-        F.explode(F.split("core", "_")).alias("tok")
-    ).filter(F.length("tok") > 0).distinct()
+    toks = _core_tokens(sh)
     # no broadcast hint: the rare-token dim is token-vocabulary-sized —
     # unbounded at corpus scale — so AQE picks the join strategy
-    rare = (toks.groupBy("tok").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= token_max_df))
+    rare = _token_df(toks).filter(F.col("df") <= token_max_df)
     tok_keys = (toks.join(rare, "tok")
-                .select("core", "band", F.xxhash64("tok").alias("key")))
+                .select("core", F.lit(-1).alias("band"),
+                        F.xxhash64("tok").alias("key")))
 
     keys = lsh_keys.unionByName(tok_keys)
 
@@ -134,12 +148,9 @@ def dropped_token_report(cores: DataFrame,
     """(tok, df) for tokens the rare-token backstop skips (df > cap) —
     the same drops-are-observable contract as blocking_report /
     dropped_chunk_report: a hot token here means its candidate block was
-    left to the LSH pass, never silently truncated."""
-    toks = (cores.select(
-        "core", F.explode(F.split("core", "_")).alias("tok"))
-        .filter(F.length("tok") > 0).distinct())
-    return (toks.groupBy("tok").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > token_max_df))
+    left to the LSH pass, never silently truncated. Tokenization and df
+    are the exact helpers the candidate pass uses."""
+    return _token_df(_core_tokens(cores)).filter(F.col("df") > token_max_df)
 
 
 def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
@@ -252,10 +263,11 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
     # is a narrow re-read of the checkpoint blocks per consumer.
     # Width ~ one partition per 8K cores (each core pays ~20 shingles x
     # bands*rows minhashes in the signature map stage — at 50K/partition
-    # that stage ran on 2 of 4 executors and capped linking efficiency at
-    # 0.72 in the round-4 vocabulary-scaled measurement), bounded by the
-    # cluster's parallelism so tiny vocabularies stay single-partition
-    # (stage-latency-optimal at the driver-bench scale).
+    # a 145K-core world ran that stage on 2 of 4 executors; widening it
+    # profiled linking_edges 30 s -> 25 s at 4 executors, round-4
+    # vocabulary-scaled world), bounded by the cluster's parallelism so
+    # tiny vocabularies stay single-partition (stage-latency-optimal at
+    # the driver-bench scale).
     n_cores = sh_dim.count()
     npart = max(1, min(mentions.sparkSession.sparkContext.defaultParallelism,
                        n_cores // 8_000))

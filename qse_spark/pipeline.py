@@ -25,7 +25,7 @@ from . import checkpoint as ckpt
 from .constants import TYPE_PREDICATE
 from .operators.cc import canonical_map
 from .operators.extraction import extract_triples, mentions_from_triples
-from .operators.linking import linking_edges
+from .operators.linking import DEFAULT_TOKEN_MAX_DF, linking_edges
 from .stats import shape_stats
 
 
@@ -35,7 +35,9 @@ class PipelineConfig:
     bands: int = 12
     rows_per_band: int = 3
     max_block: int = 2000
-    token_max_df: int = 64             # rare-token recall backstop df cap
+    # rare-token recall backstop df cap (single source of truth:
+    # linking.DEFAULT_TOKEN_MAX_DF)
+    token_max_df: int = DEFAULT_TOKEN_MAX_DF
     salt: int = 0                      # conversation-salt partitions (0 = off)
     scorer: str = "jaccard"            # linking verify: 'jaccard' | 'tfidf'
     type_predicate: str = TYPE_PREDICATE

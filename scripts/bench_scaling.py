@@ -138,9 +138,9 @@ def render_report(fixed: dict, scaled: dict | None, total: int,
         "embarrassingly-parallel extraction stage; the back-half stages see",
         "a vocabulary that does NOT grow with the replicated corpus, so",
         "their wall times here are scheduler-latency-bound and their",
-        "efficiency numbers are not meaningful at this stage size. The",
-        "vocabulary-scaled section below is the honest back-half",
-        "measurement (round-3 verdict, missing #1).",
+        "efficiency numbers are not meaningful at this stage size."
+        + (" The vocabulary-scaled section below is the honest back-half"
+           " measurement (round-3 verdict, missing #1)." if scaled else ""),
     ]
     if scaled:
         rows = scaled.get("rows", {})

@@ -28,7 +28,9 @@ def main():
                          "text, tool, ts)")
     ap.add_argument("--workdir", default="/tmp/qse-pipeline-work")
     ap.add_argument("--tau", type=float, default=0.55)
-    ap.add_argument("--token-max-df", type=int, default=64,
+    from qse_spark.operators.linking import DEFAULT_TOKEN_MAX_DF
+    ap.add_argument("--token-max-df", type=int,
+                    default=DEFAULT_TOKEN_MAX_DF,
                     help="rare-token recall backstop: only tokens in <= "
                          "this many cores form candidate blocks")
     ap.add_argument("--salt", type=int, default=0)
