@@ -222,3 +222,30 @@ def test_dropped_token_report_flags_hot_tokens(spark):
            for r in dropped_token_report(cores, token_max_df=4).collect()}
     assert rep.get("hotword") == 10
     assert "rareword" not in rep and "quill" not in rep
+
+
+def test_canonical_map_exact_on_hot_token_world(spark):
+    """End-to-end under the rare-token df cap: in a world where EVERY core
+    shares one hot word, alias families still collapse to one canonical id
+    (their high shingle-Jaccard pairs ride the LSH pass) and unrelated
+    hot-word cores stay singletons (verify rejects J < tau) — the
+    clustering the 100 TB shared-vocabulary regime needs."""
+    syl = ["ba", "ce", "di", "fo", "gu", "ka", "le", "mi", "no", "pu",
+           "ra", "se", "ti", "vo", "wu", "za", "je", "hy", "qo", "xi"]
+    tails = [syl[i] + syl[j] + syl[(i * 7 + j * 3) % 20]
+             for i in range(20) for j in range(4)]
+    hot = [f"shared_{t}" for t in tails]
+    fams = [["zephyrine_quill", "dr_zephyrine_quill", "zephyrine_quillson"],
+            ["shared_krovatel", "dr_shared_krovatel", "shared_krovatelson"]]
+    mids = hot + [m for f in fams for m in f]
+    m = spark.createDataFrame([(x,) for x in mids], ["mention_id"])
+    cmap = {r["mention_id"]: r["canonical_id"]
+            for r in canonical_map(linking_edges(m, token_max_df=8))
+            .collect()}
+    for fam in fams:
+        assert len({cmap[x] for x in fam}) == 1, fam   # family collapses
+    # hot cores must NOT collapse wholesale (a handful of syllable-tail
+    # pairs legitimately exceed tau and merge — that's the verify working,
+    # not the quadratic hot-block failure this test guards against)
+    hot_classes = {cmap[x] for x in hot}
+    assert len(hot_classes) >= len(hot) - 10
