@@ -271,6 +271,82 @@ def shape_metrics_df(stats: DataFrame,
                     "max_ps_per_ns"))
 
 
+EXPERIMENTS_GRID_COLS = [
+    "COUNT_NS", "COUNT_PS", "COUNT_CC", "COUNT_LC", "COUNT_MCC",
+    "AVG_PS", "AVG_CC", "AVG_LC", "AVG_MCC",
+    "MIN_PS", "MIN_CC", "MIN_LC", "MIN_MCC",
+    "MAX_PS", "MAX_CC", "MAX_LC", "MAX_MCC"]
+
+
+def experiments_grid_df(nodes: DataFrame, props: DataFrame) -> DataFrame:
+    """The reference's 17-stat experiments row (`ExperimentsUtil.java:63-99`,
+    `ShapesExtractor.computeShapeStatistics`) evaluated over the SAME
+    node/property-shape frames the adjacent TTL renders — each stat mirrors
+    one SPARQL file under `src/main/resources/shacl_stats_queries/`:
+
+      COUNT_NS            count/query1: ?s a sh:NodeShape
+      COUNT_PS            count/query2: ?s sh:property ?p (PSs linked from
+                          a surviving node shape — hence the semi-join)
+      COUNT_CC / _LC      count/query3,4: sh:class / sh:datatype triples
+                          DIRECTLY on the PS. In the current reference a
+                          multi-objType PS holds its class/datatype
+                          constraints on sh:or bnode members, which the
+                          queries do not traverse, so only single-objType
+                          property shapes contribute (shipped artifacts
+                          like Output/wdt15/WikiData.csv predate that —
+                          their AVG_CC > 1 comes from an older emitter
+                          that attached sh:class directly in the sh:or
+                          branch; the query files in the tree are direct-
+                          only, which is what we implement).
+      COUNT_MCC           count/query5: sh:minCount on the PS ("MCC" is
+                          the reference's name; the query counts minCount)
+      AVG/MIN/MAX_PS      avg|min|max/query1: per-NS property-shape counts
+      AVG/MIN/MAX_{CC,LC,MCC}  .../query2-4: per-PS constraint counts over
+                          PSs having >= 1 such constraint (SPARQL inner
+                          group semantics); -999 when no PS qualifies,
+                          exactly the reference's null sentinel
+                          (`ShapesExtractor.java` computeShapeStatistics
+                          else-branches).
+
+    One-row DataFrame, columns EXPERIMENTS_GRID_COLS; the model is a triple
+    SET, so duplicate adds collapse — a PS's direct constraint count is 0/1
+    by construction, expressed below as a per-PS count then filter > 0 so
+    the plan stays faithful to the grouped SPARQL, not to that accident."""
+    ps = props.join(nodes.select("node_shape").distinct(),
+                    "node_shape", "left_semi")
+    per_ps = ps.select(
+        "node_shape",
+        F.when((F.col("n_obj_types") == 1)
+               & (F.col("constraints")[0]["kind"] == "class"), 1)
+        .otherwise(0).alias("cc"),
+        F.when((F.col("n_obj_types") == 1)
+               & (F.col("constraints")[0]["kind"] == "datatype"), 1)
+        .otherwise(0).alias("lc"),
+        F.when(F.col("min_count").isNotNull(), 1).otherwise(0).alias("mcc"))
+
+    def _family(col):  # min/avg/max over PSs with >= 1 such constraint
+        hit = F.when(F.col(col) > 0, F.col(col))
+        return [F.coalesce(F.round(F.avg(hit), 6), F.lit(-999.0))
+                .alias(f"AVG_{col.upper()}"),
+                F.coalesce(F.min(hit), F.lit(-999)).alias(f"MIN_{col.upper()}"),
+                F.coalesce(F.max(hit), F.lit(-999)).alias(f"MAX_{col.upper()}")]
+
+    ps_agg = per_ps.agg(
+        F.count("*").alias("COUNT_PS"),
+        F.coalesce(F.sum("cc"), F.lit(0)).alias("COUNT_CC"),
+        F.coalesce(F.sum("lc"), F.lit(0)).alias("COUNT_LC"),
+        F.coalesce(F.sum("mcc"), F.lit(0)).alias("COUNT_MCC"),
+        *_family("cc"), *_family("lc"), *_family("mcc"))
+    per_ns = (per_ps.groupBy("node_shape").count()
+              .agg(F.coalesce(F.round(F.avg("count"), 6), F.lit(-999.0))
+                   .alias("AVG_PS"),
+                   F.coalesce(F.min("count"), F.lit(-999)).alias("MIN_PS"),
+                   F.coalesce(F.max("count"), F.lit(-999)).alias("MAX_PS")))
+    ns_agg = nodes.agg(F.countDistinct("node_shape").alias("COUNT_NS"))
+    return (ns_agg.crossJoin(ps_agg).crossJoin(per_ns)
+            .select(*EXPERIMENTS_GRID_COLS))
+
+
 def min_cardinality(stats: DataFrame, confidence: float,
                     support: int) -> DataFrame:
     """V3 — min-cardinality experiment (`MinCardinalityExperiment.java:

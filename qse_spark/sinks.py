@@ -10,9 +10,15 @@ Twins of the reference writers (file:line provenance):
                             class|property|objType|support|classEntityCount
   write_shape_metrics_csv   ShapesExtractor's experiments log
                             (`ShapesExtractor.java:94-103,188-193`):
-                            DATASET,Confidence,Support,<stat columns> with
-                            one appended row per (confidence, support) grid
-                            point ("> C%, > S" cell format preserved)
+                            DATASET,Confidence,Support,<17 stat keys>,
+                            comma-terminated rows, one appended per
+                            (confidence, support) grid point ("> C%, > S"
+                            cell format preserved; header key set matches
+                            the genuine Output/wdt15/WikiData.csv artifact)
+  prepare_stacked_csv       ExperimentsUtil.prepareCsvForGroupedStacked-
+                            BarChart (`ExperimentsUtil.java:100-139`):
+                            `<dataset>_stacked.csv`, byte-exact vs the
+                            genuine Output/wdt15 artifact
   append_runtime_log        Utils.logTime (`cs/utils/Utils.java:66-74`):
                             Dataset,Method,Second,Minute,SecondTotal,
                             MinuteTotal,MaxCard,DatasetPath, appended
@@ -83,20 +89,34 @@ def write_shape_support_psv(stats: DataFrame, path: str,
     return path
 
 
-_METRIC_COLS = ["node_shapes", "property_shapes", "class_constraints",
-                "literal_constraints", "undefined_constraints",
-                "min_count_constraints", "max_count_constraints",
-                "sh_or_shapes", "avg_ps_per_ns", "min_ps_per_ns",
-                "max_ps_per_ns"]
+def _grid_cell(v) -> str:
+    """Render one experiments-grid stat like the reference's
+    Literal.stringValue(): integral values without a decimal point,
+    averages as plain decimals (COUNT/MIN/MAX are xsd:integer in the
+    SPARQL results; only AVG is decimal)."""
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
 
 
 def write_shape_metrics_csv(metrics: DataFrame, path: str, dataset: str,
                             confidence: float | None = None,
                             support: int | None = None) -> str:
-    """Append one `<dataset>.csv` experiments row from a shape_metrics_df
-    (S15) one-row grid. confidence/support None = the QSE-Default model
-    (logged as `> 1.0%, > 1.0` like `ShapesExtractor.java:95`); the
-    header line is written once, on first append."""
+    """Append one `<dataset>.csv` experiments row from an
+    experiments_grid_df one-row frame — the reference's 17-stat format
+    (`ShapesExtractor.java:94-103`): header
+    `DATASET,Confidence,Support,<17 stat keys>,` and every row
+    comma-TERMINATED (the Java appends "," after each cell, so genuine
+    artifacts like Output/wdt15/WikiData.csv end each line with a
+    trailing comma — we reproduce that). Column order is canonical
+    EXPERIMENTS_GRID_COLS; the reference's own order is HashMap
+    iteration (nondeterministic across JVMs), so parity is on the key
+    SET (tests/test_reference_output_parity.py).
+
+    confidence/support None = the QSE-Default model (logged as
+    `> 1.0%, > 1.0` like `ShapesExtractor.java:95`); the header line is
+    written once, on first append."""
+    from .shapes import EXPERIMENTS_GRID_COLS
     _ensure_dir(path)
     row = metrics.limit(1).toPandas().iloc[0]
     if confidence is None:
@@ -108,16 +128,48 @@ def write_shape_metrics_csv(metrics: DataFrame, path: str, dataset: str,
         # divergence — comparisons should not depend on fp repr noise)
         cell_c = f" > {round(confidence * 100, 6)}%"
         cell_s = f" > {support}"
-    vals = ",".join(str(row[c]) for c in _METRIC_COLS)
-    line = f"{dataset},{cell_c},{cell_s},{vals}"
-    header = "DATASET,Confidence,Support," + ",".join(
-        c.upper() for c in _METRIC_COLS)
+    vals = ",".join(_grid_cell(row[c]) for c in EXPERIMENTS_GRID_COLS)
+    line = f"{dataset},{cell_c},{cell_s},{vals},"
+    header = ("DATASET,Confidence,Support,"
+              + ",".join(EXPERIMENTS_GRID_COLS) + ",")
     write_header = not os.path.exists(path)
     with open(path, "a") as f:
         if write_header:
             f.write(header + "\n")
         f.write(line + "\n")
     return path
+
+
+def prepare_stacked_csv(src_path: str, dst_path: str,
+                        skip_first_row: bool = True) -> str:
+    """`<dataset>_stacked.csv` from an experiments CSV — the reference's
+    grouped-stacked-bar-chart transform (`ExperimentsUtil.java:100-139`,
+    always invoked with skipFirstRow=true, e.g. `Parser.java:340`): for
+    each metric row after the skipped QSE-Default row, emit
+    `Confidence,Support,COUNT_CC,NonLiteral` and
+    `Confidence,Support,COUNT_LC,Literal`, preserving the cells verbatim
+    (leading spaces included). Header and rows APPEND like the
+    reference's writeToFileInAppendMode — re-runs accumulate, which is
+    why shipped artifacts hold several runs' blocks. Byte-exact parity
+    with the genuine Output/wdt15 artifact is pytest-asserted. Driver-
+    side on purpose: this consumes the experiments LOG (a few dozen
+    lines), not data."""
+    import csv as _csv
+    with open(src_path) as f:
+        reader = _csv.reader(f)
+        header = next(reader)
+        rows = list(reader)
+    idx = {name: i for i, name in enumerate(header)}
+    if skip_first_row and rows:
+        rows = rows[1:]
+    _ensure_dir(dst_path)
+    with open(dst_path, "a") as f:
+        f.write("Confidence,Support,COUNT,TYPE\n")
+        for r in rows:
+            pre = f"{r[idx['Confidence']]},{r[idx['Support']]}"
+            f.write(f"{pre},{r[idx['COUNT_CC']]},NonLiteral\n")
+            f.write(f"{pre},{r[idx['COUNT_LC']]},Literal\n")
+    return dst_path
 
 
 def append_runtime_log(path: str, dataset: str, method: str, seconds: int,
@@ -222,9 +274,9 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
     use the absolute complement rule (ShapesExtractor.java:386-412 has
     no sampling adjustment)."""
     from .constants import TYPE_PREDICATE
-    from .shapes import (kept_stat_rows, negative_shapes, node_shapes,
-                         ns_support_gate, property_shapes, shape_metrics_df,
-                         write_ttl)
+    from .shapes import (experiments_grid_df, kept_stat_rows,
+                         negative_shapes, node_shapes, ns_support_gate,
+                         property_shapes, write_ttl)
 
     tp = type_predicate or TYPE_PREDICATE
     grid = grid if grid is not None else [(0.25, 100), (0.5, 100)]
@@ -242,11 +294,14 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
     stats = stats.localCheckpoint(eager=True)
 
     full_ttl = os.path.join(out_dir, f"{dataset}_QSE_FULL_SHACL.ttl")
-    write_ttl(node_shapes(stats), property_shapes(stats, tp), full_ttl)
+    full_ns, full_ps = node_shapes(stats), property_shapes(stats, tp)
+    write_ttl(full_ns, full_ps, full_ttl)
     paths["QSE_FULL"] = full_ttl
     metrics_csv = os.path.join(out_dir, f"{dataset}.csv")
-    write_shape_metrics_csv(shape_metrics_df(stats, tp), metrics_csv,
-                            dataset)
+    # the metric row is computed over the SAME node/prop frames the
+    # adjacent TTL renders — the grid always describes the emitted model
+    write_shape_metrics_csv(experiments_grid_df(full_ns, full_ps),
+                            metrics_csv, dataset)
 
     for conf, supp in grid:
         # ONE kept-row spine feeds both the TTL and its metric row, so
@@ -259,9 +314,11 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
         p = os.path.join(out_dir, f"{dataset}_{tag}_SHACL.ttl")
         write_ttl(ns, ps, p, neg_props=neg)
         paths[tag] = p
-        write_shape_metrics_csv(shape_metrics_df(kept, tp), metrics_csv,
+        write_shape_metrics_csv(experiments_grid_df(ns, ps), metrics_csv,
                                 dataset, conf, supp)
     paths["metrics"] = metrics_csv
+    paths["stacked"] = prepare_stacked_csv(
+        metrics_csv, os.path.join(out_dir, f"{dataset}_stacked.csv"))
 
     paths["classFrequency"] = write_class_frequency(
         class_counts, os.path.join(out_dir, "classFrequency.csv"))

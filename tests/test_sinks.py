@@ -67,19 +67,23 @@ def test_shape_support_psv_sampled_emits_sampled_count(spark, tmp_path):
 
 
 def test_shape_metrics_csv_appends_grid(spark, tmp_path):
-    from qse_spark.shapes import shape_metrics_df
+    from qse_spark.shapes import (experiments_grid_df, node_shapes,
+                                  property_shapes)
     st = shape_stats(_triples(spark))
-    m = shape_metrics_df(st)
+    m = experiments_grid_df(node_shapes(st), property_shapes(st))
     p = str(tmp_path / "dataset.csv")
     sinks.write_shape_metrics_csv(m, p, "fixture")                  # default
     sinks.write_shape_metrics_csv(m, p, "fixture", 0.25, 100)       # grid pt
     with open(p) as f:
         lines = f.read().splitlines()
-    assert lines[0].startswith("DATASET,Confidence,Support,NODE_SHAPES,")
+    assert lines[0].startswith("DATASET,Confidence,Support,COUNT_NS,")
+    assert lines[0].endswith(",")     # the reference comma-terminates rows
     assert len(lines) == 3                        # header written only once
     assert lines[1].startswith("fixture, > 1.0%, > 1.0,")
     assert lines[2].startswith("fixture, > 25.0%, > 100,")
+    assert all(ln.endswith(",") for ln in lines[1:])
     n_cols = len(lines[0].split(","))
+    assert n_cols == 3 + 17 + 1       # DATASET,Conf,Supp + 17 stats + ''
     assert all(len(ln.split(",")) == n_cols for ln in lines[1:])
 
 
@@ -94,7 +98,7 @@ def test_reference_output_directory(spark, tmp_path):
     cc = class_counts_df(entity_types_df(_triples(spark)))
     paths = sinks.write_reference_outputs(
         st, cc, str(tmp_path / "Output"), "fixture", grid=[(0.5, 1)])
-    assert set(paths) == {"QSE_FULL", "QSE_0.5_1", "metrics",
+    assert set(paths) == {"QSE_FULL", "QSE_0.5_1", "metrics", "stacked",
                           "classFrequency", "shape_props"}
     assert all(os.path.exists(p) for p in paths.values())
     full = read_ttl_shapes(spark, paths["QSE_FULL"])
