@@ -360,10 +360,11 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
                 emit_triple(conv, t, pm, "greeting", f"{w}@{lang}", "langString")
             elif k == 6:
                 o, oa = pick(world.orgs)
-                m = " ".join(_MOTTO_WORDS[int(rng.integers(10))] for _ in range(2))
-                text = f'{surface_title(oa)} motto is "{m}".'
+                motto = " ".join(_MOTTO_WORDS[int(rng.integers(10))]
+                                 for _ in range(2))
+                text = f'{surface_title(oa)} motto is "{motto}".'
                 om = emit_mention(conv, t, o, oa); typed(conv, t, o, om)
-                emit_triple(conv, t, om, "motto", m, "string")
+                emit_triple(conv, t, om, "motto", motto, "string")
             elif k == 7:
                 p, pa_ = pick(world.persons); j, ja = pick(world.projects)
                 text = f"{surface_title(pa_)} contributes to {surface_title(ja)}."
@@ -457,7 +458,9 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
                    # v1 worlds are byte-identical across versions 4/5 (the
                    # uniform-mixture pick is short-circuited off), so only
                    # the vocab-scaled worlds carry the bumped version
-                   "version": 4 if m == 1 else 5}, f)
+                   # NB: not the loop-shadowed `m` — the version gate must
+                   # agree with ensure_fixture's `want` or caching breaks
+                   "version": 4 if max(1, int(vocab_mult)) == 1 else 5}, f)
     return out_dir
 
 

@@ -3,6 +3,7 @@ acceptance metric), resumability (byte-identical after mid-pipeline kill)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import duckdb
@@ -189,3 +190,20 @@ def test_vocab_scaled_world_links_exactly(spark, tmp_path):
             .select("subject", "predicate", "object"))
     pr = precision_recall(gold, got)
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+
+def test_ensure_fixture_caches_both_worlds(tmp_path, monkeypatch):
+    """ensure_fixture must be a real cache: a second call returns the same
+    directory WITHOUT rewriting it. Regression for the shadowed `m` in
+    generate() (loop variables at testdata.py:400/406 leaked into the
+    meta version gate, writing version 5 for vocab_mult=1 worlds so every
+    ensure_fixture call regenerated — which also broke checkpoint resume,
+    because the input mtime fingerprint changed on every run)."""
+    import qse_spark.testdata as td
+    monkeypatch.setattr(td, "FIXTURE_ROOT", str(tmp_path))
+    for kw in ({"seed": 7, "n_turns": 200},
+               {"seed": 7, "n_turns": 200, "vocab_mult": 2}):
+        fx = td.ensure_fixture(**kw)
+        mt = os.stat(os.path.join(fx, "transcripts.parquet")).st_mtime_ns
+        assert td.ensure_fixture(**kw) == fx
+        assert os.stat(
+            os.path.join(fx, "transcripts.parquet")).st_mtime_ns == mt
