@@ -121,36 +121,57 @@ def main():
     # extract + group fuse into ONE pass over the corpus (map-side combine
     # into the distinct-triple table); every later stage touches only the
     # vocabulary-sized aggregate — the shape that holds at 10^12 turns.
-    t0 = time.time()
-    transcripts = spark.read.parquet(in_path)
-    groups = extract_triple_groups(transcripts, salt=cfg.salt).persist()
-    groups.count()
-    q["p1_extract_group"] = time.time() - t0
-    n_triples = int(groups.agg(F.sum("cnt")).collect()[0][0])
+    def pipeline_pass():
+        s = {}
+        t0 = time.time()
+        transcripts = spark.read.parquet(in_path)
+        groups = extract_triple_groups(transcripts, salt=cfg.salt).persist()
+        groups.count()
+        s["p1_extract_group"] = time.time() - t0
+        n_triples = int(groups.agg(F.sum("cnt")).collect()[0][0])
 
-    t = time.time()
-    links = linking_edges(mentions_from_triples(groups), tau=cfg.tau,
-                          bands=cfg.bands, rows=cfg.rows_per_band,
-                          max_block=cfg.max_block,
-                          token_max_df=cfg.token_max_df).persist()
-    links.count()
-    q["p2_linking"] = time.time() - t
+        t = time.time()
+        links = linking_edges(mentions_from_triples(groups), tau=cfg.tau,
+                              bands=cfg.bands, rows=cfg.rows_per_band,
+                              max_block=cfg.max_block,
+                              token_max_df=cfg.token_max_df).persist()
+        links.count()
+        s["p2_linking"] = time.time() - t
 
-    t = time.time()
-    cmap = canonical_map(links).persist()
-    n_mentions = cmap.count()
-    q["p3_cc"] = time.time() - t
+        t = time.time()
+        cmap = canonical_map(links).persist()
+        n_mentions = cmap.count()
+        s["p3_cc"] = time.time() - t
 
-    t = time.time()
-    canon = canonicalize_triples(groups, cmap).persist()
-    n_canon = canon.count()
-    q["p4_canonicalize"] = time.time() - t
+        t = time.time()
+        canon = canonicalize_triples(groups, cmap).persist()
+        n_canon = canon.count()
+        s["p4_canonicalize"] = time.time() - t
 
-    t = time.time()
-    stats = shape_stats(canon)
-    n_stats = stats.count()
-    q["p5_stats"] = time.time() - t
-    e2e = time.time() - t0
+        t = time.time()
+        stats = shape_stats(canon)
+        n_stats = stats.count()
+        s["p5_stats"] = time.time() - t
+        e2e = time.time() - t0
+        for df in (groups, links, cmap, canon):
+            df.unpersist()
+        return e2e, s, (n_triples, n_mentions, n_canon, n_stats)
+
+    # best-of-n whole-phase passes, same rationale as best_of below: the
+    # sandbox intermittently freezes the VM for tens of seconds, and a
+    # single timed pass that catches a freeze misreports every stage.
+    # Per-stage splits come from the winning pass so they sum to its e2e.
+    # The controlled 64M-turn scaling harness (scripts/bench_scaling.py)
+    # sets QSE_BENCH_PIPE_RUNS=1: its passes are 100-650s, far above the
+    # stall scale, and a second pass would double a ~20-min experiment.
+    pipe_runs = int(os.environ.get("QSE_BENCH_PIPE_RUNS", "3"))
+    e2e, stage_q, counts = pipeline_pass()
+    for _ in range(pipe_runs - 1):
+        e2e2, s2, c2 = pipeline_pass()
+        if e2e2 < e2e:
+            e2e, stage_q, counts = e2e2, s2, c2
+    q.update(stage_q)
+    n_triples, n_mentions, n_canon, n_stats = counts
 
     # --- operator queries on the driver tables ---
     if os.environ.get("QSE_BENCH_PIPELINE_ONLY"):
@@ -179,9 +200,12 @@ def main():
         if os.path.exists(p):
             spark.read.parquet(p).createOrReplaceTempView(tbl)
 
-    def best_of(fn, n=2):
-        # steady-state: the sandbox's co-tenant load swings wall time 2-4x;
-        # min-of-n on a warm JVM is the reproducible number
+    def best_of(fn, n=3):
+        # steady-state: the sandbox's co-tenant load intermittently freezes
+        # the whole VM — identical multi-stage jobs swing 10x+ run-to-run
+        # (measured round 4: the same warm minhash job 6.0-192s, CPU idle
+        # during the stalls) — so min-of-n on a warm JVM is the only
+        # reproducible number; n=3 because a stall can span two runs
         best = None
         for _ in range(n):
             t0 = time.time()
@@ -189,6 +213,14 @@ def main():
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         return best
+
+    # the operator-query tables are small (sf0.1: 5K docs / 10K vectors);
+    # shuffle partitions sized for the pipeline's corpus scan are ~6x
+    # over-split here, and over-split tiny shuffle stages are what the
+    # sandbox's scheduler stalls hit hardest. Size to the data, as a real
+    # deployment would (restored after the loop for any later caller).
+    sp_prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     docs = spark.table("documents")
     emb = spark.table("embeddings")
@@ -209,6 +241,7 @@ def main():
             n_centroids=16, nprobe=4).count())
     q["q_text_winnow"] = best_of(
         lambda: text_ops.winnow_fingerprint(docs, k=8, w=4).count())
+    spark.conf.set("spark.sql.shuffle.partitions", sp_prev)
 
     out = {
         "metric": "kg_pipeline_e2e",

@@ -42,7 +42,11 @@ def run(n_exec: int, n_turns: int, sf_dir: str, replicate: int,
                QSE_BENCH_VOCAB=str(vocab),
                QSE_SPARK_DRIVER_MEM="8g",
                SPARK_LOCAL_DIRS="/dev/shm/qse-spark-local",
-               QSE_BENCH_PIPELINE_ONLY="1")
+               QSE_BENCH_PIPELINE_ONLY="1",
+               # single pass per JVM: this harness already repeats whole
+               # processes (best-of-`repeats`), and one 64M-turn pass is
+               # far above the sandbox's tens-of-seconds stall scale
+               QSE_BENCH_PIPE_RUNS="1")
     best = None
     for _ in range(repeats):
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
