@@ -214,7 +214,13 @@ def _normalize_triples(raw: DataFrame) -> DataFrame:
 
 
 def _salted(transcripts: DataFrame, salt: int) -> DataFrame:
-    df = transcripts.select("conv_id", "turn_idx", "text")
+    # turn_idx is int32 by the input contract, but tolerate wider ints
+    # (e.g. createDataFrame's default int64): the UDF copies the column
+    # into TRIPLE_SCHEMA's int32 slot verbatim, and a type mismatch there
+    # is a JVM-side ArrowColumnVector crash, not a cast.
+    df = transcripts.select("conv_id",
+                            F.col("turn_idx").cast("int").alias("turn_idx"),
+                            "text")
     if salt > 0:
         n = df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(n, "conv_id",

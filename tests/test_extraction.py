@@ -73,3 +73,37 @@ def test_fused_extract_groups_equals_staged(spark, fixture_dir):
     staged = sorted(map(tuple,
                         group_triples(extract_triples(tr)).collect()))
     assert fused == staged and len(fused) > 0
+
+def test_template_anchor_is_exact_sentence(spark):
+    """The extraction grammar anchors a template to the EXACT turn text:
+    RE2's `$` (unlike Python re's) does not match before a trailing
+    newline, so decorated turns do not extract. Pins the mapInArrow
+    rewrite's semantics: a template claims a turn iff the whole text IS
+    the sentence."""
+    rows = [("c", 0, "bela rivon works at acme corp."),          # exact: yes
+            ("c", 1, "bela rivon works at acme corp.\n"),        # trailing \n
+            ("c", 2, " bela rivon works at acme corp."),         # leading sp
+            ("c", 3, "ps: bela rivon works at acme corp.")]      # prefix
+    tr = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    got = extract_triples(tr).collect()
+    assert {r["turn_idx"] for r in got} == {0}
+    assert {(r["predicate"], r["object"]) for r in got} == {
+        ("worksAt", "acme_corp"),
+        ("rdf:type", "Person"),
+        ("rdf:type", "Company")}
+
+
+def test_needle_hit_regex_miss_does_not_consume(spark):
+    """A turn containing a template's needle but failing its regex must
+    stay 'alive' for later templates (the alive-mask shrink is per-MATCH,
+    not per-gate): ' works at ' gates template 1, whose regex rejects the
+    digits, and the turn then matches nothing — while a genuine later-
+    template turn with an earlier needle substring still extracts."""
+    rows = [("c", 0, "agent 7 works at 9 pm."),       # needle yes, match no
+            ("c", 1, "search_web returned status 200.")]
+    tr = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    got = extract_triples(tr).collect()
+    assert {r["turn_idx"] for r in got} == {1}
+    assert {(r["subject"], r["predicate"]) for r in got} == {
+        ("search_web", "returnedStatus"),
+        ("search_web", "rdf:type")}
