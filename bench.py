@@ -80,12 +80,12 @@ def main():
         # fixture GENERATOR version is part of the cache key: the derived
         # replicated dir must invalidate when the world's content changes
         # (e.g. the round-4 uniform-mixture vocab worlds bumped v4 -> v5),
-        # not just when (n_turns, replicate, vocab) change
+        # not just when (n_turns, replicate, vocab) change — for the
+        # fixed-vocab world too, since generator edits can change it as well
         with open(os.path.join(fx, "meta.json")) as _f:
             _gen_ver = json.load(_f).get("version", 0)
-        big = os.path.join(root, f"turns{n_turns}x{replicate}" +
-                           (f"v{vocab_mult}g{_gen_ver}"
-                            if vocab_mult > 1 else ""))
+        big = os.path.join(root, f"turns{n_turns}x{replicate}"
+                           f"v{vocab_mult}g{_gen_ver}")
         if not os.path.exists(os.path.join(big, "_SUCCESS")):
             base = spark.read.parquet(in_path)
             (base.withColumn("_r", F.explode(F.sequence(F.lit(1),
