@@ -124,19 +124,21 @@ def _norm_series(s: pd.Series) -> pd.Series:
     return s.map(pd.Series(normed.values, index=u.values))
 
 
-def _extract_raw_table(batch: pa.RecordBatch) -> pa.Table:
-    """One Arrow batch -> raw-triple Table (TRIPLE_SCHEMA columns, surfaces
-    unnormalized). All compute is Arrow C++ kernels; the only Python-level
-    loop is over the 10 templates."""
-    text = pc.fill_null(batch.column("text"), "")
-    conv = batch.column("conv_id")
-    turn = batch.column("turn_idx")
-    cols: dict[str, list] = {k: [] for k in
-                             ("conv_id", "turn_idx", "subject", "predicate",
-                              "object", "obj_kind")}
+def _extract_table(text: pa.Array,
+                   carries: list[tuple[str, pa.Array]]) -> pa.Table | None:
+    """text (null-free) -> raw-triple Table with columns
+    [*carry names, subject, predicate, object, obj_kind] (surfaces
+    unnormalized), or None when nothing matched. Each carry array is
+    aligned with `text` and taken at hit indices — the per-turn path
+    carries (conv_id, turn_idx), the fused group path carries the
+    distinct-text multiplicity. All compute is Arrow C++ kernels; the
+    only Python-level loop is over the 10 templates."""
+    names = [n for n, _ in carries] + ["subject", "predicate", "object",
+                                       "obj_kind"]
+    cols: dict[str, list] = {k: [] for k in names}
     # `alive` shrinks as templates claim rows, so each needle gate only
     # admits still-unmatched rows (each turn matches at most one template)
-    alive = np.ones(batch.num_rows, dtype=bool)
+    alive = np.ones(len(text), dtype=bool)
     for pred, needle, rx, subj_cls, obj_cls, obj_kind in _ARROW_TEMPLATES:
         gate = pc.match_substring(text, needle).to_numpy(
             zero_copy_only=False) & alive
@@ -151,14 +153,13 @@ def _extract_raw_table(batch: pa.RecordBatch) -> pa.Table:
         ext = ext.drop_null()
         alive[hidx] = False
         hidx_pa = pa.array(hidx)
-        cv = pc.take(conv, hidx_pa)
-        tn = pc.take(turn, hidx_pa)
+        taken = [(n, pc.take(arr, hidx_pa)) for n, arr in carries]
         s = pc.struct_field(ext, "g1")
         k = len(hidx)
 
         def emit(subject, predicate, obj, kind):
-            cols["conv_id"].append(cv)
-            cols["turn_idx"].append(tn)
+            for n, arr in taken:
+                cols[n].append(arr)
             cols["subject"].append(subject)
             cols["predicate"].append(pa.array([predicate] * k))
             cols["object"].append(obj if isinstance(obj, pa.Array)
@@ -181,18 +182,17 @@ def _extract_raw_table(batch: pa.RecordBatch) -> pa.Table:
             emit(s, pred, word_at_lang, "langString")
         else:
             emit(s, pred, pc.struct_field(ext, "g2"), obj_kind)
-    if not cols["conv_id"]:
-        return pa.table({f.name: pa.chunked_array([], type=t) for f, t in
-                         zip(TRIPLE_SCHEMA.fields,
-                             (pa.string(), pa.int32(), pa.string(),
-                              pa.string(), pa.string(), pa.string()))})
+    if not cols["obj_kind"]:
+        return None
     return pa.table({k: pa.chunked_array(v) for k, v in cols.items()})
 
 
 def _raw_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for b in batches:
-        t = _extract_raw_table(b)
-        if t.num_rows:
+        t = _extract_table(pc.fill_null(b.column("text"), ""),
+                           [("conv_id", b.column("conv_id")),
+                            ("turn_idx", b.column("turn_idx"))])
+        if t is not None:
             yield from t.combine_chunks().to_batches()
 
 
@@ -253,13 +253,21 @@ _GROUP_KEYS = ["subject", "predicate", "object", "obj_kind"]
 
 def _raw_group_iter(batches: Iterator[pa.RecordBatch]
                     ) -> Iterator[pa.RecordBatch]:
+    """Per batch: distinct texts first (C++ value_counts — transcripts
+    repeat heavily: greetings, tool-status lines, boilerplate), extract
+    once per DISTINCT text, weight each emitted triple by the text's
+    multiplicity, then hash-aggregate. The regex work (the stage's
+    dominant cost) runs per distinct text instead of per turn; on the
+    bench corpus (~27% distinct per 64K-row batch) that cuts the Python
+    stage ~2-3x. Worst case (all texts distinct) costs one extra C++
+    hash aggregation over the text column — noise next to the regexes."""
     for b in batches:
-        t = _extract_raw_table(b)
-        if not t.num_rows:
+        vc = pc.value_counts(pc.fill_null(b.column("text"), ""))
+        t = _extract_table(vc.field("values"), [("cnt", vc.field("counts"))])
+        if t is None:
             continue
-        g = (t.select(_GROUP_KEYS)
-             .group_by(_GROUP_KEYS)
-             .aggregate([([], "count_all")])
+        g = (t.group_by(_GROUP_KEYS)
+             .aggregate([("cnt", "sum")])
              .rename_columns(_GROUP_KEYS + ["cnt"]))
         yield from g.combine_chunks().to_batches()
 

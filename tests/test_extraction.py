@@ -74,6 +74,23 @@ def test_fused_extract_groups_equals_staged(spark, fixture_dir):
                         group_triples(extract_triples(tr)).collect()))
     assert fused == staged and len(fused) > 0
 
+
+def test_fused_groups_weight_repeated_texts(spark):
+    """The fused path extracts once per DISTINCT text inside a batch and
+    weights by multiplicity — cnt must equal the occurrence count, and
+    distinct alias spellings must still collapse post-normalization."""
+    from qse_spark.operators.extraction import extract_triple_groups
+    rows = ([("c", i, "Ada Lovelace works at Initech.") for i in range(5)]
+            + [("c", 10, "ADA LOVELACE works at Initech.")]
+            + [("c", 11, "Bob is 44 years old.")])
+    tr = (spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+          .coalesce(1))
+    got = {(r.subject, r.predicate, r.object, r.obj_kind): r.cnt
+           for r in extract_triple_groups(tr).collect()}
+    assert got[("ada_lovelace", "worksAt", "initech", "iri")] == 6
+    assert got[("bob", "age", "44", "integer")] == 1
+
+
 def test_template_anchor_is_exact_sentence(spark):
     """The extraction grammar anchors a template to the EXACT turn text:
     RE2's `$` (unlike Python re's) does not match before a trailing
