@@ -136,22 +136,36 @@ def _extract_table(text: pa.Array,
     names = [n for n, _ in carries] + ["subject", "predicate", "object",
                                        "obj_kind"]
     cols: dict[str, list] = {k: [] for k in names}
-    # `alive` shrinks as templates claim rows, so each needle gate only
-    # admits still-unmatched rows (each turn matches at most one template)
-    alive = np.ones(len(text), dtype=bool)
+    # `cur` holds the still-unclaimed rows; `abs_idx` maps cur positions
+    # back to the original batch so carry columns stay aligned. Claimed
+    # rows are physically compacted out once a template claims >= 1/8 of
+    # cur, so later needle gates scan only the shrinking unclaimed
+    # remainder instead of the full column per template (round-4 review:
+    # full-column gates were ~30% of batch time in the pandas version);
+    # the 1/8 threshold amortizes the take-copy against the scans saved.
+    cur = text
+    abs_idx: np.ndarray | None = None        # None = identity mapping
+    alive = np.ones(len(cur), dtype=bool)    # relative to cur
     for pred, needle, rx, subj_cls, obj_cls, obj_kind in _ARROW_TEMPLATES:
-        gate = pc.match_substring(text, needle).to_numpy(
+        gate = pc.match_substring(cur, needle).to_numpy(
             zero_copy_only=False) & alive
         if not gate.any():
             continue
-        idx = np.flatnonzero(gate)
-        ext = pc.extract_regex(pc.take(text, pa.array(idx)), rx)
+        sel = np.flatnonzero(gate)
+        ext = pc.extract_regex(pc.take(cur, pa.array(sel)), rx)
         valid = pc.is_valid(ext).to_numpy(zero_copy_only=False)
         if not valid.any():
             continue
-        hidx = idx[valid]
+        rel_hit = sel[valid]
+        hidx = rel_hit if abs_idx is None else abs_idx[rel_hit]
         ext = ext.drop_null()
-        alive[hidx] = False
+        alive[rel_hit] = False
+        claimed = len(cur) - int(alive.sum())
+        if claimed * 8 >= len(cur):
+            keep = np.flatnonzero(alive)
+            cur = pc.take(cur, pa.array(keep))
+            abs_idx = keep if abs_idx is None else abs_idx[keep]
+            alive = np.ones(len(cur), dtype=bool)
         hidx_pa = pa.array(hidx)
         taken = [(n, pc.take(arr, hidx_pa)) for n, arr in carries]
         s = pc.struct_field(ext, "g1")
@@ -196,21 +210,25 @@ def _raw_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             yield from t.combine_chunks().to_batches()
 
 
-def _normalize_triples(raw: DataFrame) -> DataFrame:
+def _normalize_triples(raw: DataFrame, lead: tuple[str, ...] = (),
+                       trail: tuple[str, ...] = ()) -> DataFrame:
     """JVM-native normalization of the raw-surface triples: subjects are
     always mentions; objects are mentions iff obj_kind == 'iri' and the
     predicate is not rdf:type (type objects are class labels — the same
     rule mentions_from_triples applies). Literals pass through untouched,
-    byte-for-byte (the per-turn text-equality invariant)."""
+    byte-for-byte (the per-turn text-equality invariant). `lead`/`trail`
+    are passthrough carry columns (per-turn keys / group multiplicity) —
+    ONE definition of the mention-vs-literal rule serves both extraction
+    paths (round-4 review)."""
     is_mention_obj = ((F.col("obj_kind") == "iri")
                       & (F.col("predicate") != TYPE_PREDICATE))
     return raw.select(
-        "conv_id", "turn_idx",
+        *lead,
         normalize_surface_col(F.col("subject")).alias("subject"),
         "predicate",
         F.when(is_mention_obj, normalize_surface_col(F.col("object")))
         .otherwise(F.col("object")).alias("object"),
-        "obj_kind")
+        "obj_kind", *trail)
 
 
 def _salted(transcripts: DataFrame, salt: int) -> DataFrame:
@@ -237,7 +255,7 @@ def extract_triples(transcripts: DataFrame, salt: int = 0) -> DataFrame:
     co-locatable by conv_id downstream.
     """
     raw = _salted(transcripts, salt).mapInArrow(_raw_iter, TRIPLE_SCHEMA)
-    return _normalize_triples(raw)
+    return _normalize_triples(raw, lead=("conv_id", "turn_idx"))
 
 
 GROUP_SCHEMA = StructType([
@@ -286,14 +304,7 @@ def extract_triple_groups(transcripts: DataFrame, salt: int = 0) -> DataFrame:
     normalization is what collapses them — same final table, proven by
     tests/test_extraction.py fused-vs-composed equality."""
     raw = _salted(transcripts, salt).mapInArrow(_raw_group_iter, GROUP_SCHEMA)
-    is_mention_obj = ((F.col("obj_kind") == "iri")
-                      & (F.col("predicate") != TYPE_PREDICATE))
-    normed = raw.select(
-        normalize_surface_col(F.col("subject")).alias("subject"),
-        "predicate",
-        F.when(is_mention_obj, normalize_surface_col(F.col("object")))
-        .otherwise(F.col("object")).alias("object"),
-        "obj_kind", "cnt")
+    normed = _normalize_triples(raw, trail=("cnt",))
     return (normed.groupBy("subject", "predicate", "object", "obj_kind")
             .agg(F.sum("cnt").alias("cnt")))
 

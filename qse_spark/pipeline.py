@@ -90,6 +90,16 @@ def canonicalize_triples(triples: DataFrame, cmap: DataFrame,
     weight); pre-aggregating first keeps the joins vocabulary-sized."""
     w = F.col("cnt") if "cnt" in triples.columns else F.lit(1)
     triples = triples.withColumn("_w", w.cast("long"))
+    # guard-count cost note (round-4 review): cmap is consumed lazily up
+    # to three times (this count + the two maps). When it is the tail of
+    # the CC stage, connected_components has ALREADY eagerly
+    # localCheckpointed the edge fixpoint, so each consumption re-runs
+    # only canonical_map's vocabulary-sized groupBy+join — never the
+    # corpus-sized linking DAG. Materializing cmap here instead (persist /
+    # localCheckpoint) pins its blocks past the function's lazy consumers
+    # and fails the no-orphaned-cache contract (test_pipeline_leaves_
+    # no_cached_rdds); run_pipeline avoids even the tail re-run by
+    # passing the checkpoint-parquet-backed dictionary.
     bcast = (max_broadcast_rows is None
              or cmap.count() <= max_broadcast_rows)
     hint = F.broadcast if bcast else (lambda df: df)

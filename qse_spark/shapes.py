@@ -527,7 +527,8 @@ def _parse_ttl_shape_doc(doc: str) -> list[tuple[str, str, str]]:
     (Turtle gives them no stable name; the key column is what P/R needs)."""
     import re as _re
 
-    from .sources.turtle import (mask_string_bodies, ttl_prefixes,
+    from .sources.turtle import (_PNAME, mask_string_bodies, ttl_bracket_end,
+                                 ttl_prefixes,
                                  ttl_statements as _ttl_statements)
 
     prefixes = ttl_prefixes(doc)
@@ -542,10 +543,23 @@ def _parse_ttl_shape_doc(doc: str) -> list[tuple[str, str, str]]:
         return tok
 
     sh_ns = "http://www.w3.org/ns/shacl#"
-    iri_or_pname = r"(<[^>]+>|[A-Za-z][\w.-]*:[\w.-]+)"
-    tc_re = _re.compile(r"sh:targetClass\s+" + iri_or_pname)
-    path_re = _re.compile(r"sh:path\s+" + iri_or_pname)
-    prop_re = _re.compile(r"sh:property\s+\[")
+    iri_or_pname = r"(<[^>]+>|" + _PNAME + r")"
+    # SHACL predicates are matched through the document's OWN prefix
+    # declarations (any label bound to the SHACL namespace, or the full
+    # <IRI> form) — a doc binding e.g. shx: to the shacl ns parses
+    # identically (round-4 review). 'sh' stays as a fallback label for
+    # prefix-less test fragments.
+    sh_labels = sorted({p for p, iri in prefixes.items() if iri == sh_ns}
+                       | ({"sh"} if not prefixes else set()))
+
+    def sh_pred(local: str) -> str:
+        alts = [_re.escape(f"{p}:{local}") for p in sh_labels]
+        alts.append(_re.escape(f"<{sh_ns}{local}>"))
+        return "(?:" + "|".join(alts) + ")"
+
+    tc_re = _re.compile(sh_pred("targetClass") + r"\s+" + iri_or_pname)
+    path_re = _re.compile(sh_pred("path") + r"\s+" + iri_or_pname)
+    prop_re = _re.compile(sh_pred("property") + r"\s+\[")
     rows = []
     for stmt in _ttl_statements(doc):
         if stmt.startswith("@prefix"):
@@ -566,14 +580,9 @@ def _parse_ttl_shape_doc(doc: str) -> list[tuple[str, str, str]]:
         if sh_ns + "NodeShape" in types:
             for t in tc_re.findall(mstmt):
                 rows.append(("NS", subj, term(t)))
-            # inline blank-node property shapes: [ ... sh:path X ... ];
-            # brackets inside quoted literals are blanked by the mask, so
-            # a plain depth scan is string-safe here
+            # inline blank-node property shapes: [ ... sh:path X ... ]
             for pm in prop_re.finditer(mstmt):
-                i, depth = pm.end(), 1
-                while i < len(mstmt) and depth:
-                    depth += {"[": 1, "]": -1}.get(mstmt[i], 0)
-                    i += 1
+                i = ttl_bracket_end(mstmt, pm.end())
                 body = mstmt[pm.end():i - 1]
                 for t in path_re.findall(body):
                     rows.append(("PS", f"_:{subj}/{term(t)}", term(t)))

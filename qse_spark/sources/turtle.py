@@ -33,7 +33,9 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
-_PNAME = r"[A-Za-z][\w.-]*:[\w.-]*"
+# prefix label optional: ':Bob' (default-prefix pname) is valid Turtle and
+# resolves through the '' key ttl_prefixes registers (round-4 review)
+_PNAME = r"(?:[A-Za-z][\w.-]*)?:[\w.-]*"
 _IRI_OR_PNAME = re.compile(r"^(?:<([^>]*)>|(" + _PNAME + r"))$")
 _LITERAL = re.compile(
     r'^"((?:[^"\\]|\\.)*)"'                      # quoted body (ECHAR-aware)
@@ -53,7 +55,8 @@ class _TokenState:
     (ECHAR-aware) token. feed(ch) advances the state and returns True when
     ch is STRUCTURAL — outside both token kinds — so '.', ';', ',', '[',
     ']' and '#' only act when this returns True. One implementation shared
-    by every Turtle scanner here and by shapes._parse_ttl_shape_doc."""
+    by every Turtle scanner here; shapes._parse_ttl_shape_doc reuses it
+    via ttl_bracket_end and mask_string_bodies."""
     __slots__ = ("in_iri", "in_str", "esc")
 
     def __init__(self):
@@ -124,7 +127,7 @@ def strip_ttl_comments(doc: str) -> str:
 # literal spanning a whole line can never match) and spliced out of the
 # real text (same length, indices map 1:1).
 _SPARQL_DECL = re.compile(
-    r"(?mi)^[ \t]*(?:PREFIX[ \t]+[A-Za-z][\w.-]*:[ \t]*<[^>]*>"
+    r"(?mi)^[ \t]*(?:PREFIX[ \t]+(?:[A-Za-z][\w.-]*)?:[ \t]*<[^>]*>"
     r"|BASE[ \t]+<[^>]*>)[ \t]*\r?$")
 
 
@@ -197,7 +200,8 @@ def ttl_base(doc: str) -> str | None:
 def ttl_bracket_end(s: str, i: int, depth: int = 1) -> int:
     """Index just past the ']' that closes the bracket group already
     `depth` deep at s[i]; brackets inside <IRI>/"string" tokens don't
-    count (a literal like "see ] in docs" never closes the group)."""
+    count (a literal like "see ] in docs" never closes the group).
+    Used by shapes._parse_ttl_shape_doc for inline sh:property groups."""
     st = _TokenState()
     n = len(s)
     while i < n and depth:

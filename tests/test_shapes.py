@@ -409,3 +409,45 @@ ex:S a sh:NodeShape ;
     assert ("NS", "http://evil/T") not in ks
     assert ("PS", "http://ex.org/real") in ks
     assert ("NS", "http://ex.org/T") in ks
+
+
+def test_parse_turtle_doc_default_prefix():
+    """Review finding (round 4b): a declared DEFAULT prefix (':Bob') is
+    valid, common Turtle and must resolve through ttl_prefixes' '' key —
+    not silently drop every triple."""
+    from qse_spark.sources.turtle import parse_turtle_doc
+    doc = "@prefix : <http://ex/> .\n:Bob a :Person .\n:Bob :age 44 .\n"
+    rows, skipped = parse_turtle_doc(doc)
+    assert skipped == 0
+    got = {(r[0], r[1], r[2], r[3]) for r in rows}
+    assert ("http://ex/Bob",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://ex/Person", "iri") in got
+    assert ("http://ex/Bob", "http://ex/age", "44", "integer") in got
+    # SPARQL-style default-prefix declaration is excised the same way
+    rows2, skipped2 = parse_turtle_doc(
+        "PREFIX : <http://ex/>\n:Bob :age 44 .\n")
+    assert skipped2 == 0 and rows2 == [r for r in rows if r[2] == "44"]
+
+
+def test_parse_ttl_shape_doc_alt_shacl_prefix_label():
+    """Review finding (round 4b): SHACL predicates resolve through the
+    document's own prefix declarations — a doc binding shx: (or using
+    full <IRI> predicates) parses identically to one binding sh:."""
+    from qse_spark.shapes import _parse_ttl_shape_doc
+    doc = """@prefix shx: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://ex/> .
+ex:PersonShape a shx:NodeShape ;
+  shx:targetClass ex:Person ;
+  shx:property [ shx:path ex:age ] .
+"""
+    rows = set(_parse_ttl_shape_doc(doc))
+    assert ("NS", "http://ex/PersonShape", "http://ex/Person") in rows
+    assert ("PS", "_:http://ex/PersonShape/http://ex/age",
+            "http://ex/age") in rows
+    iri_doc = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+<http://ex/S> a sh:NodeShape ;
+  <http://www.w3.org/ns/shacl#targetClass> <http://ex/C> .
+"""
+    assert ("NS", "http://ex/S", "http://ex/C") in set(
+        _parse_ttl_shape_doc(iri_doc))
