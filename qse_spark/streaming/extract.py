@@ -33,7 +33,8 @@ def streaming_extract(spark: SparkSession, path: str,
               .parquet(path))
     return _normalize_triples(
         stream.select("conv_id", "turn_idx", "text")
-        .mapInArrow(_raw_iter, TRIPLE_SCHEMA))
+        .mapInArrow(_raw_iter, TRIPLE_SCHEMA),
+        lead=("conv_id", "turn_idx"))
 
 
 def streaming_class_counts(triples: DataFrame,
