@@ -52,6 +52,10 @@ def child(n_exec: int, nodes: int, chain_len: int) -> None:
                  .alias("dst"))
          .write.mode("overwrite").parquet(path))
     edges = spark.read.parquet(path)
+    # steady-state measurement: force executor registration + codegen
+    # warm-up before the clock starts (a real cluster amortizes this
+    # over hours; here it would otherwise tax the faster side 4x harder)
+    edges.limit(1_000).groupBy("src").count().count()
 
     t0 = time.monotonic()
     comp = connected_components(edges, driver_threshold=0)
