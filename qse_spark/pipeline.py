@@ -1,6 +1,7 @@
 """End-to-end KG construction pipeline (north-star dataflow):
 
-  transcripts ─ stage 1 ─> raw triples            (extraction.py, mapInPandas)
+  transcripts ─ stage 1 ─> distinct triples + cnt (extraction.py, mapInArrow,
+              │                                    fused per-batch combine)
               ─ stage 2 ─> entity links           (linking.py, LSH self-join)
               ─ stage 3 ─> canonical map          (cc.py, large/small-star)
               ─ stage 4 ─> canonical triples      (broadcast-join + groupBy)
@@ -11,6 +12,14 @@ Each stage is independently checkpointed + resumable (checkpoint.py). The
 canonical-ID dictionary is broadcast (it is |distinct mentions|-sized, far
 smaller than the triple table), matching the north rule's "broadcast hash
 joins serve the canonical-ID dictionary".
+
+Stage 1 defaults to the FUSED extraction (extract_triple_groups): the first
+checkpoint written is the vocabulary-sized distinct-triple table, never the
+occurrence-sized per-turn one — at 10^12 turns materializing ~2x10^12
+per-turn triple rows to parquet (and reading them back) would dwarf every
+other stage. Per-turn provenance stays available as a lazy, un-checkpointed
+DataFrame; set PipelineConfig(fuse_extract=False) to materialize it as its
+own resumable stage instead.
 """
 
 from __future__ import annotations
@@ -24,7 +33,8 @@ from pyspark.sql import functions as F
 from . import checkpoint as ckpt
 from .constants import TYPE_PREDICATE
 from .operators.cc import canonical_map
-from .operators.extraction import extract_triples, mentions_from_triples
+from .operators.extraction import (extract_triple_groups, extract_triples,
+                                   mentions_from_triples)
 from .operators.linking import DEFAULT_TOKEN_MAX_DF, linking_edges
 from .stats import shape_stats
 
@@ -51,6 +61,12 @@ class PipelineConfig:
     approx_bully: bool = False
     # canonical-dictionary broadcast guard (None = always broadcast)
     max_broadcast_rows: int | None = 5_000_000
+    # True (default): stage 1 checkpoints the FUSED vocabulary-sized
+    # distinct-triple aggregate (extract_triple_groups); per-turn triples
+    # stay lazy/un-checkpointed. False: materialize the occurrence-sized
+    # per-turn triple table as its own resumable stage first (provenance
+    # at the cost of an O(corpus) checkpoint write+read).
+    fuse_extract: bool = True
 
 
 def group_triples(triples: DataFrame) -> DataFrame:
@@ -144,10 +160,20 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
         return ckpt.stage(spark, os.path.join(workdir, name), name, h, thunk,
                           counters), h
 
-    triples, h1 = _stage("triples", "root", ["salt"],
-                         lambda: extract_triples(transcripts, salt=cfg.salt))
-    groups, h2 = _stage("triple_groups", h1, [],
-                        lambda: group_triples(triples))
+    if cfg.fuse_extract:
+        # per-turn provenance handle: lazy by design (consuming it re-runs
+        # the Arrow extraction UDF) — the fused stage exists precisely so
+        # no occurrence-sized table is ever checkpointed
+        triples = extract_triples(transcripts, salt=cfg.salt)
+        groups, h2 = _stage(
+            "triple_groups", "root", ["salt"],
+            lambda: extract_triple_groups(transcripts, salt=cfg.salt))
+    else:
+        triples, h1 = _stage(
+            "triples", "root", ["salt"],
+            lambda: extract_triples(transcripts, salt=cfg.salt))
+        groups, h2 = _stage("triple_groups", h1, [],
+                            lambda: group_triples(triples))
     links, h3 = _stage(
         "links", h2, ["tau", "bands", "rows_per_band", "max_block",
                       "token_max_df", "scorer"],

@@ -34,6 +34,10 @@ def main():
                     help="rare-token recall backstop: only tokens in <= "
                          "this many cores form candidate blocks")
     ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--materialize-turn-triples", action="store_true",
+                    help="checkpoint the occurrence-sized per-turn triple "
+                         "table as its own stage (provenance) instead of "
+                         "the default fused vocabulary-sized first stage")
     ap.add_argument("--scorer", choices=["jaccard", "tfidf"],
                     default="jaccard")
     ap.add_argument("--approx", action="store_true",
@@ -71,6 +75,7 @@ def main():
                        config=PipelineConfig(
                            tau=args.tau, salt=args.salt, scorer=args.scorer,
                            token_max_df=args.token_max_df,
+                           fuse_extract=not args.materialize_turn_triples,
                            approx=args.approx,
                            approx_max_cap=args.approx_max_cap,
                            approx_target_pct=args.approx_target_pct),

@@ -66,7 +66,7 @@ def test_resume_after_mid_pipeline_kill(spark, fixture_dir, pipe):
     out2 = run_pipeline(spark, f"{fixture_dir}/transcripts.parquet",
                         workdir=wd, counters=counters)
     resumed = {c["stage"]: c["resumed"] for c in counters}
-    assert resumed["triples"] and resumed["links"]
+    assert resumed["triple_groups"] and resumed["links"]
     assert not resumed["canonical_map"]
     assert sorted(map(tuple, out2["canonical_triples"].collect())) == before
 
@@ -172,9 +172,34 @@ def test_approx_toggle_resumes_upstream_stages(spark, fixture_dir, tmp_path):
                  config=PipelineConfig(approx=True, approx_max_cap=50),
                  counters=counters)
     resumed = {s["stage"]: s["resumed"] for s in counters}
-    assert resumed == {"triples": True, "triple_groups": True,
+    assert resumed == {"triple_groups": True,
                        "links": True, "canonical_map": True,
                        "canonical_triples": True, "shape_stats": False}
+
+
+def test_fused_extract_equals_unfused(spark, fixture_dir, pipe, tmp_path):
+    """fuse_extract=True (default: the first checkpoint is the
+    vocabulary-sized fused aggregate, no per-turn triple stage on disk)
+    must produce the identical final tables as the unfused two-stage path,
+    and the per-turn provenance handle must still carry per-turn rows."""
+    _, wd_fused, _ = pipe
+    # the fused workdir never materializes the occurrence-sized stage
+    assert "triple_groups" in os.listdir(wd_fused)
+    assert "triples" not in os.listdir(wd_fused)
+    # fresh handles via resume: earlier tests in this module overwrite
+    # stage dirs in wd_fused, which invalidates the fixture's DataFrames
+    # (their file indexes pin the old part files)
+    out_fused = run_pipeline(spark, f"{fixture_dir}/transcripts.parquet",
+                             workdir=wd_fused)
+    out_unfused = run_pipeline(
+        spark, f"{fixture_dir}/transcripts.parquet",
+        workdir=str(tmp_path / "wd"),
+        config=PipelineConfig(fuse_extract=False))
+    for key in ("triple_groups", "canonical_triples", "shape_stats"):
+        assert sorted(map(tuple, out_fused[key].collect())) == \
+            sorted(map(tuple, out_unfused[key].collect())), key
+    # lazy provenance handle: per-turn schema, same distinct-triple set
+    assert {"conv_id", "turn_idx"} <= set(out_fused["triples"].columns)
 
 
 def test_vocab_scaled_world_links_exactly(spark, tmp_path):
