@@ -8,8 +8,11 @@ restart, a stage whose manifest matches its config hash is loaded from disk
 instead of recomputed — a mid-pipeline kill resumes where it left off and
 reproduces byte-identical results (tests/test_pipeline.py resume tests).
 
-Storage is parquet directories (Iceberg jars are not in this image; the
-writer is format-pluggable via `sinks.write_table`).
+Storage is parquet directories. Stage checkpoints are deliberately NOT
+routed through the format-pluggable `sources.tables.write_table` (which
+serves the FINAL partitioned canonical-triples output): a checkpoint's
+manifest lives as a plain file inside the stage directory, which requires
+a path-addressed store, not an Iceberg table identifier.
 """
 
 from __future__ import annotations

@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--approx-max-cap", type=int, default=1000)
     ap.add_argument("--approx-target-pct", type=float, default=100.0)
     ap.add_argument("--fixture-turns", type=int, default=100_000)
+    ap.add_argument("--triples-out", default=None,
+                    help="materialize the canonical triple table here, "
+                         "partitioned by predicate (Iceberg when "
+                         "QSE_TABLE_FORMAT=iceberg and jars are present, "
+                         "parquet directory layout otherwise)")
     ap.add_argument("--output-dir", default=None,
                     help="also write the reference-layout Output/ dir "
                          "(SHACL TTLs, classFrequency.csv, metrics CSV, "
@@ -81,6 +86,16 @@ def main():
                            approx_target_pct=args.approx_target_pct),
                        counters=counters)
     n = out["shape_stats"].count()
+    triples_out = None
+    if args.triples_out:
+        from qse_spark.sources.tables import write_table
+
+        # predicate is the bounded-cardinality partition key (the north
+        # star's "partitioned Iceberg output"); hot predicates like
+        # rdf:type simply span more files within their partition
+        write_table(out["canonical_triples"], args.triples_out,
+                    partition_by=["predicate"])
+        triples_out = args.triples_out
     written = None
     if args.output_dir:
         from pyspark.sql import functions as F
@@ -100,7 +115,8 @@ def main():
                                           sampled=args.approx)
     print(json.dumps({"shape_stat_rows": n,
                       "elapsed_sec": round(time.time() - t0, 2),
-                      "stages": counters, "outputs": written}))
+                      "stages": counters, "outputs": written,
+                      "triples_out": triples_out}))
     spark.stop()
 
 

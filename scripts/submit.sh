@@ -5,12 +5,15 @@
 # cluster replace --master with yarn/k8s/standalone and size executors via
 # --num-executors / --executor-cores / --executor-memory.
 #
-# Usage: scripts/submit.sh [master] [transcripts_parquet] [workdir]
+# Usage: scripts/submit.sh [master] [transcripts_parquet] [workdir] [extra
+# run_pipeline.py flags...] — e.g. --triples-out /path for the partitioned
+# canonical-triples materialization.
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 MASTER="${1:-local-cluster[4,2,6144]}"
 INPUT="${2:-}"
 WORKDIR="${3:-/tmp/qse-submit-work}"
+shift $(( $# > 3 ? 3 : $# ))
 
 ZIP=$(python - <<EOF
 import sys
@@ -26,4 +29,4 @@ exec spark-submit \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.session.timeZone=UTC \
-  "$REPO/scripts/run_pipeline.py" ${INPUT:+--input "$INPUT"} --workdir "$WORKDIR"
+  "$REPO/scripts/run_pipeline.py" ${INPUT:+--input "$INPUT"} --workdir "$WORKDIR" "$@"
