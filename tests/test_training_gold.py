@@ -212,3 +212,39 @@ def test_tfidf_boundary_pairs(spark):
            .collect())
     assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == \
         [(3, 4, gold["cosine"].to_pylist()[0])]
+
+
+def test_tfidf_prefix_filter_lossless(spark):
+    """The prefix-filtered plan (AllPairs bound) must return EXACTLY the
+    direct inverted-index join's pairs and cosines — on an adversarial
+    mix: heavy shared boilerplate (hot, low-idf tokens that fall into
+    every suffix), near-identical tf-variant pairs straddling typical
+    taus, exact duplicates (cosine 1.0), and a doc whose entire content
+    is boilerplate (its prefix is still non-empty: total mass 1 > tau^2
+    so at least one token always stays indexed)."""
+    import math
+
+    from qse_spark.operators.linking import tfidf_cosine_pairs
+
+    boiler = "the of and to in for on with " * 4
+    rows = [
+        (1, boiler + "alpha beta gamma delta"),
+        (2, boiler + "alpha beta gamma delta"),          # dup of 1
+        (3, boiler + "alpha beta gamma epsilon"),        # near-dup of 1
+        (4, boiler + "zeta eta theta iota kappa"),
+        (5, boiler.strip()),                             # boilerplate-only
+        (6, "alpha beta gamma delta"),                   # no boilerplate
+        (7, "lonely unique words here"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    for tau in (0.5, 0.7, 0.9):
+        def run(pf):
+            out = tfidf_cosine_pairs(d, tau=tau, id_col="doc_id",
+                                     text_col="text", prefix_filter=pf)
+            return {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+        direct, prefix = run(False), run(True)
+        assert set(direct) == set(prefix), tau
+        assert all(math.isclose(direct[k], prefix[k], rel_tol=1e-9)
+                   for k in direct), tau
+    # the dup pair must be present at every tau with cosine ~1.0
+    assert math.isclose(run(True)[(1, 2)], 1.0, rel_tol=1e-12)
