@@ -347,17 +347,31 @@ def tfidf_cosine_pairs(docs: DataFrame, tau: float = 0.3,
     candidate generation; the exact cosine is then computed relationally
     over the surviving candidate pairs only (same pattern as
     minhash_dedup's verify). At tau = 0.9 a doc indexes only the rarest
-    ~19% of its squared mass — measured 170 s -> single-digit seconds on
-    the 5K-doc sf0.1 documents table. Below tau = 0.5 the suffix can
-    hold too little mass to prune, so the direct fused join wins and is
-    kept as the low-tau path."""
+    ~19% of its squared mass. Measured on the deliberately worst-case
+    sf0.1 documents table (31-token vocabulary, every token df ~3900,
+    so ALL 12.5M pairs share a token and stay candidates): 170 s direct
+    -> 62 s prefix with the posting table pinned (41 s warm) — the
+    residual cost is the irreducible 12.5M-pair exact scoring; on a
+    real Zipf vocabulary the hot tokens vanish from candidate
+    generation entirely and the candidate set tracks the true pair
+    count. Below tau = 0.5 the suffix can hold too little mass to
+    prune, so the direct fused join wins and is kept as the low-tau
+    path.
+
+    The posting table feeds five plan branches in the prefix path
+    (prefix split, both candidate sides, both scoring sides), so it is
+    eagerly localCheckpoint-ed — without the pin each branch would
+    re-run the two TF-IDF aggregations over the corpus (same
+    GC-cleaned-blocks rationale as linking_edges' sh_dim)."""
     wts = tfidf_weights(docs, id_col, text_col, max_df)
+    if prefix_filter is None:
+        prefix_filter = tau >= 0.5
+    if prefix_filter:
+        wts = wts.localCheckpoint(eager=True)
     a = wts.select(F.col("id").alias("id_a"), "tok",
                    F.col("w").alias("w_a"), F.col("norm").alias("n_a"))
     b = wts.select(F.col("id").alias("id_b"), "tok",
                    F.col("w").alias("w_b"), F.col("norm").alias("n_b"))
-    if prefix_filter is None:
-        prefix_filter = tau >= 0.5
     if not prefix_filter:
         return (a.join(b, "tok")
                 .filter(F.col("id_a") < F.col("id_b"))
