@@ -215,8 +215,15 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, w: int = 4,
 
     Scale shape: self-join on the fingerprint inverted index — bounded by
     `max_df` (fingerprints appearing in more docs are boilerplate and are
-    dropped like stopwords), so no all-pairs product exists."""
-    fps = winnow_fingerprint(docs, k=k, w=w)
+    dropped like stopwords, observable via dropped_fp_report — same
+    drops-are-never-silent contract as dedup's dropped_shingle_report),
+    so no all-pairs product exists.
+
+    The fingerprint table feeds three plan branches (the df filter and
+    both join sides), and its per-character hash-array projection is the
+    operator's second-biggest cost — eager localCheckpoint evaluates it
+    once (GC-cleaned blocks, the repo-wide pin convention)."""
+    fps = winnow_fingerprint(docs, k=k, w=w).localCheckpoint(eager=True)
     dfreq = (fps.groupBy("fp").agg(F.count("*").alias("df"))
              .filter(F.col("df") <= max_df))
     kept = fps.join(dfreq.select("fp"), "fp")
@@ -225,6 +232,19 @@ def winnow_dup_pairs(docs: DataFrame, k: int = 8, w: int = 4,
     return (a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b").agg(F.count("*").alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+def dropped_fp_report(docs: DataFrame, k: int = 8, w: int = 4,
+                      max_df: int = 1000) -> DataFrame:
+    """(fp, df) for winnowing fingerprints the `max_df` cap drops from
+    winnow_dup_pairs — boilerplate fingerprints must be observable, never
+    silent (the contract dropped_shingle_report / dropped_chunk_report /
+    dropped_token_report already keep for their caps). df counts DOCS:
+    winnow_fingerprint's per-document array_distinct makes (doc_id, fp)
+    rows unique."""
+    fps = winnow_fingerprint(docs, k=k, w=w)
+    return (fps.groupBy("fp").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df))
 
 
 def stratified_sample(docs: DataFrame, strata_col: str = "lang",

@@ -312,6 +312,36 @@ def test_winnow_dup_pairs_finds_near_dups(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_winnow_dropped_fp_report_and_cap(spark):
+    """A fingerprint shared by more docs than max_df must (a) be excluded
+    from the pair join and (b) appear in dropped_fp_report — the same
+    never-silent-drop contract the shingle/chunk/bucket/token caps keep.
+    Five identical boilerplate docs + two genuine near-dups: with
+    max_df=4 every boilerplate fingerprint (df=5) is dropped, so the
+    boilerplate clique contributes NO pairs while the near-dup pair
+    survives."""
+    from qse_spark.operators import text as T
+    boiler = ("standard footer text repeated verbatim on every single "
+              "page of the crawl corpus")
+    base = ("we the people of the united states in order to form a more "
+            "perfect union establish justice and insure tranquility")
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(5)]
+        + [(10, base), (11, base.replace("justice", "fairness"))],
+        ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in T.winnow_dup_pairs(docs, min_shared=2,
+                                         max_df=4).collect()}
+    assert (10, 11) in pairs
+    assert not any(a < 5 and b < 5 for a, b in pairs)
+    report = T.dropped_fp_report(docs, max_df=4).collect()
+    assert report and all(r["df"] == 5 for r in report)
+    # every dropped fp really is a boilerplate fingerprint
+    boiler_fps = {r["fp"] for r in T.winnow_fingerprint(
+        docs.filter("doc_id = 0")).collect()}
+    assert {r["fp"] for r in report} <= boiler_fps
+
+
 def test_stratified_sample_caps_and_determinism(spark):
     from qse_spark.operators import text as T
     docs = spark.createDataFrame(
