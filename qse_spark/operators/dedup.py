@@ -274,9 +274,16 @@ def simhash_dedup(docs: DataFrame, hamming: int = 3,
 
     `sig` (optional): precomputed simhash(docs) — pass it when the caller
     also needs the signatures, so the token-explode corpus scan (the
-    operator's dominant cost) runs exactly once."""
-    keys = _simhash_chunk_keys(sig if sig is not None else simhash(docs),
-                               blocks)
+    operator's dominant cost) runs exactly once. When absent it is
+    computed here and eagerly localCheckpoint-ed for the same reason:
+    the chunk keys fan out into 4 rotation branches x (count + two join
+    sides), and without the pin each branch would re-run the corpus
+    token-explode aggregation (measured 32 parquet scans in the
+    un-pinned physical plan; the signature table is one 2-long row per
+    doc, so pinning it is doc-count-sized, not corpus-sized)."""
+    if sig is None:
+        sig = simhash(docs).localCheckpoint(eager=True)
+    keys = _simhash_chunk_keys(sig, blocks)
     cnt = keys.groupBy("blk", "key").agg(F.count("*").alias("bn"))
     keys = (keys.join(cnt, ["blk", "key"]).filter(F.col("bn") <= max_block)
             .drop("bn"))

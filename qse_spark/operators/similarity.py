@@ -124,10 +124,18 @@ def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.95, dim: int = 64,
     larger than `max_block` are dropped (inspect the drops with
     dropped_bucket_report — the same cap contract as minhash_dedup's
     banded blocks). Grow n_planes ~log2(N/max_block) with the corpus so
-    typical buckets stay under the cap instead of being dropped."""
+    typical buckets stay under the cap instead of being dropped.
+
+    The signed/normalized projection feeds three plan branches (the
+    bucket-population count and both self-join sides); it is eagerly
+    localCheckpoint-ed so the embedding scan + n_planes dot products run
+    once instead of three times (the bucket-count dimension is
+    bucket-cardinality-sized, so AQE broadcasts its join back — the cap
+    costs no corpus shuffle)."""
     e = lsh_signature(with_unit_norm(emb), dim, n_planes, seed)
-    e = e.select(F.col(id_col).alias("id"), F.col("_unit").alias("v"),
-                 "bucket")
+    e = (e.select(F.col(id_col).alias("id"), F.col("_unit").alias("v"),
+                  "bucket")
+         .localCheckpoint(eager=True))
     cnt = e.groupBy("bucket").agg(F.count("*").alias("bn"))
     e = e.join(cnt, "bucket").filter(F.col("bn") <= max_block).drop("bn")
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
