@@ -64,8 +64,13 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8,
     The shingle join only materializes pairs that share at least one
     shingle; a hot shingle (boilerplate) can explode the join, so shingles
     occurring in more than `max_df` docs are dropped like stopwords —
-    inspect the drops with dropped_shingle_report(docs, k, max_df)."""
-    sh = word_shingles(docs, k)
+    inspect the drops with dropped_shingle_report(docs, k, max_df).
+
+    The shingle table feeds four plan branches (the df count, the
+    per-doc sizes and both join sides); eager localCheckpoint runs the
+    corpus explode + distinct once (the df dimension is
+    shingle-vocabulary-sized, so AQE broadcasts its join back)."""
+    sh = word_shingles(docs, k).localCheckpoint(eager=True)
     df_cnt = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh = (sh.join(df_cnt, "shingle").filter(F.col("df") <= max_df)
           .select("doc_id", "shingle"))

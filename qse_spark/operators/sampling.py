@@ -53,8 +53,12 @@ def sample_entity_classes(entity_types: DataFrame, caps: DataFrame,
     okey = F.md5(F.concat(F.col("entity"), F.lit(f"#{seed}")))
     et = entity_types
     if bully:
-        scope = et.groupBy("entity").agg(F.count("*").alias("_scope"))
-        et = et.join(scope, "entity")
+        # scope = classes per entity, as a window over the SAME scan the
+        # ranking reads (the groupBy+join-back form evaluated the
+        # entity_types DAG twice — once for the scope dimension, once
+        # for the join probe side)
+        et = et.withColumn(
+            "_scope", F.count("*").over(Window.partitionBy("entity")))
         order = [F.desc("_scope"), okey, F.col("entity")]
     else:
         order = [okey, F.col("entity")]
