@@ -135,6 +135,36 @@ def canonicalize_triples(triples: DataFrame, cmap: DataFrame,
             .agg(F.sum("_w").alias("cnt")))
 
 
+def kg_from_groups(groups: DataFrame,
+                   config: PipelineConfig | None = None
+                   ) -> dict[str, DataFrame]:
+    """The pipeline back half (links -> canonical map -> canonical triples
+    -> shape stats) from an ALREADY-AGGREGATED distinct-triple table —
+    no checkpointing, no input path. Used by the streaming incremental
+    path (streaming/incremental.py), whose compacted micro-batch deltas
+    are exactly such a table; run_pipeline keeps its own per-stage
+    checkpointed thunks because each stage must be independently
+    resumable there."""
+    cfg = config or PipelineConfig()
+    links = linking_edges(
+        mentions_from_triples(groups), tau=cfg.tau, bands=cfg.bands,
+        rows=cfg.rows_per_band, max_block=cfg.max_block,
+        scorer=cfg.scorer, token_max_df=cfg.token_max_df)
+    cmap = canonical_map(links)
+    canon = canonicalize_triples(groups, cmap,
+                                 max_broadcast_rows=cfg.max_broadcast_rows)
+    if cfg.approx:
+        from .operators.sampling import approx_shape_stats
+        stats = approx_shape_stats(
+            canon, max_cap=cfg.approx_max_cap,
+            target_pct=cfg.approx_target_pct, seed=cfg.approx_seed,
+            bully=cfg.approx_bully, type_predicate=cfg.type_predicate)
+    else:
+        stats = shape_stats(canon, cfg.type_predicate)
+    return {"links": links, "canonical_map": cmap,
+            "canonical_triples": canon, "shape_stats": stats}
+
+
 def run_pipeline(spark: SparkSession, transcripts_path: str,
                  workdir: str | None = None,
                  config: PipelineConfig | None = None,

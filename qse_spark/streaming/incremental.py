@@ -1,0 +1,103 @@
+"""Continuous transcript ingestion -> incremental KG construction.
+
+The batch pipeline's stage-1 aggregate (distinct raw triples + cnt,
+extraction.extract_triple_groups) is a commutative monoid: aggregates of
+disjoint turn sets merge by key-summed cnt. That makes the incremental
+plan a textbook Structured Streaming shape:
+
+  readStream(transcripts dir) --maxFilesPerTrigger--> micro-batches
+    foreachBatch: fused Arrow extraction + per-batch combine
+                  -> append ONE vocabulary-sized parquet delta per batch
+  compaction = groupBy-sum over the delta partitions at read
+  back half  = pipeline.kg_from_groups(compacted aggregate)
+
+Exactly-once: each delta is written to its own `batch=<id>` directory
+with mode("overwrite"), and batch ids come from the stream's checkpoint
+— a crashed-and-restarted query replays the same batch id into the same
+directory (idempotent), and a finished query never re-reads consumed
+files. Restarting with a DELETED stream checkpoint is NOT supported on
+a used workdir (batch boundaries may regroup and stale deltas would
+double-count) — start a fresh workdir instead, exactly like the batch
+pipeline's rule for changed stage code (checkpoint.py module docs).
+
+At 10^12 turns the deltas stay vocabulary-sized per batch (the Arrow
+channel already carries per-batch aggregates, extraction.py), so the
+store grows with batches x vocabulary, not with turns; compaction cost
+is one shuffle over the delta store, and a periodic rewrite of the
+compacted table (or an Iceberg MERGE where available) bounds it.
+
+No reference counterpart (QSE is single-pass batch); required by the
+north star's continuous-ingestion reading of "resumes mid-pipeline".
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extraction import (GROUP_SCHEMA, _GROUP_KEYS,
+                                    extract_triple_groups)
+from ..pipeline import PipelineConfig, kg_from_groups
+from .extract import TRANSCRIPT_DDL
+
+
+def ingest_transcripts(spark: SparkSession, in_path: str, workdir: str,
+                       salt: int = 0, max_files: int = 4) -> str:
+    """Drain all currently-available transcript files into per-batch
+    triple-group deltas under `workdir`; returns the delta root.
+
+    Trigger.AvailableNow processes everything visible (in
+    maxFilesPerTrigger-sized batches) and stops — call again after new
+    files arrive, or swap the trigger for a processingTime one to run
+    continuously; the stream checkpoint makes either mode resume where
+    it left off."""
+    delta = os.path.join(workdir, "delta")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (extract_triple_groups(batch_df, salt=salt)
+         .write.mode("overwrite")
+         .parquet(os.path.join(delta, f"batch={batch_id}")))
+
+    q = (spark.readStream.schema(TRANSCRIPT_DDL)
+         .option("maxFilesPerTrigger", max_files)
+         .parquet(in_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation",
+                 os.path.join(workdir, "_stream_checkpoint"))
+         .trigger(availableNow=True)
+         .queryName("qse_incremental_" + uuid.uuid4().hex[:8])
+         .start())
+    q.awaitTermination()
+    return delta
+
+
+def compact_groups(spark: SparkSession, workdir: str) -> DataFrame:
+    """The merged distinct-triple aggregate over every ingested delta —
+    identical (row set and cnt) to extract_triple_groups over the whole
+    corpus in one batch (monoid merge; equality pytest-asserted)."""
+    delta = os.path.join(workdir, "delta")
+    if not os.path.isdir(delta) or not any(
+            e.startswith("batch=") for e in os.listdir(delta)):
+        return spark.createDataFrame([], GROUP_SCHEMA)
+    return (spark.read.parquet(delta)
+            .groupBy(*_GROUP_KEYS)
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def incremental_kg(spark: SparkSession, in_path: str, workdir: str,
+                   config: PipelineConfig | None = None,
+                   max_files: int = 4) -> dict[str, DataFrame]:
+    """Ingest whatever is new, then rebuild the KG views from the merged
+    aggregate: {triple_groups, links, canonical_map, canonical_triples,
+    shape_stats}. Linking/CC re-run over the (vocabulary-sized) merged
+    aggregate because entity linking is global — a new alias can merge
+    two previously distinct canonical entities, which no per-batch
+    incremental join can express."""
+    cfg = config or PipelineConfig()
+    ingest_transcripts(spark, in_path, workdir, salt=cfg.salt,
+                       max_files=max_files)
+    groups = compact_groups(spark, workdir)
+    return {"triple_groups": groups, **kg_from_groups(groups, cfg)}

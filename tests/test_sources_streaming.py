@@ -233,3 +233,91 @@ def test_streaming_checkpoint_restart_exactly_once(spark, fixture_dir,
     exp = sorted(map(tuple,
                      extract_triples(spark.read.parquet(src)).collect()))
     assert got == exp
+
+
+def test_incremental_kg_matches_batch(spark, fixture_dir, tmp_path):
+    """Multi-batch incremental ingestion (maxFilesPerTrigger=1 over three
+    conversation-disjoint file chunks) must key-sum-merge to EXACTLY the
+    single-batch fused aggregate (the stage-1 monoid), and the KG built
+    on the merged aggregate must equal the batch pipeline's stats."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qse_spark.operators.extraction import extract_triple_groups
+    from qse_spark.pipeline import run_pipeline
+    from qse_spark.streaming.incremental import incremental_kg
+
+    src = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    convs = sorted(r[0] for r in src.select("conv_id").distinct().collect())
+    for i in range(3):
+        chunk = set(convs[i::3])
+        (src.filter(F.col("conv_id").isin(list(chunk))).coalesce(1)
+         .write.parquet(str(in_dir / f"chunk{i}")))
+    wd = str(tmp_path / "wd")
+    out = incremental_kg(spark, str(in_dir) + "/*", wd, max_files=1)
+    merged = sorted(map(tuple, out["triple_groups"].collect()))
+    batch = sorted(map(tuple, extract_triple_groups(src).collect()))
+    assert merged == batch
+    deltas = [e for e in os.listdir(os.path.join(wd, "delta"))
+              if e.startswith("batch=")]
+    assert len(deltas) >= 2, "expected a genuinely multi-batch ingest"
+    exp = run_pipeline(
+        spark, f"{fixture_dir}/transcripts.parquet")["shape_stats"]
+    assert sorted(map(tuple, out["shape_stats"].collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
+def test_incremental_ingest_resume_and_growth(spark, fixture_dir, tmp_path):
+    """Re-running the drain with no new files must add nothing (the
+    stream checkpoint is the exactly-once guard), and a file that
+    arrives later must be picked up so the merged aggregate tracks the
+    enlarged corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qse_spark.operators.extraction import extract_triple_groups
+    from qse_spark.streaming.incremental import (compact_groups,
+                                                 ingest_transcripts)
+
+    src = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    convs = sorted(r[0] for r in src.select("conv_id").distinct().collect())
+    early = set(convs[: len(convs) // 2])
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (src.filter(F.col("conv_id").isin(list(early))).coalesce(1)
+     .write.parquet(str(in_dir / "day1")))
+    wd = str(tmp_path / "wd")
+
+    ingest_transcripts(spark, str(in_dir) + "/*", wd, max_files=1)
+    delta_dir = os.path.join(wd, "delta")
+
+    def listing():
+        return sorted(
+            (d, sorted(os.listdir(os.path.join(delta_dir, d))))
+            for d in os.listdir(delta_dir) if d.startswith("batch="))
+
+    first = listing()
+    first_merged = sorted(map(tuple, compact_groups(spark, wd).collect()))
+    ingest_transcripts(spark, str(in_dir) + "/*", wd, max_files=1)
+    assert listing() == first, "no-op drain must not write new deltas"
+    assert sorted(map(tuple, compact_groups(spark, wd).collect())) == \
+        first_merged
+
+    (src.filter(~F.col("conv_id").isin(list(early))).coalesce(1)
+     .write.parquet(str(in_dir / "day2")))
+    ingest_transcripts(spark, str(in_dir) + "/*", wd, max_files=1)
+    assert len(listing()) > len(first)
+    merged = sorted(map(tuple, compact_groups(spark, wd).collect()))
+    assert merged == sorted(map(tuple, extract_triple_groups(src).collect()))
+
+
+def test_compact_groups_empty_workdir(spark, tmp_path):
+    from qse_spark.streaming.incremental import compact_groups
+    out = compact_groups(spark, str(tmp_path / "nowhere"))
+    assert out.columns == ["subject", "predicate", "object", "obj_kind",
+                           "cnt"]
+    assert out.count() == 0
