@@ -23,8 +23,8 @@ pipeline's rule for changed stage code (checkpoint.py module docs).
 At 10^12 turns the deltas stay vocabulary-sized per batch (the Arrow
 channel already carries per-batch aggregates, extraction.py), so the
 store grows with batches x vocabulary, not with turns; compaction cost
-is one shuffle over the delta store, and a periodic rewrite of the
-compacted table (or an Iceberg MERGE where available) bounds it.
+is one shuffle over the delta store, and a periodic compact_to_base
+rewrite (or an Iceberg MERGE where available) bounds it.
 
 No reference counterpart (QSE is single-pass batch); required by the
 north star's continuous-ingestion reading of "resumes mid-pipeline".
@@ -85,6 +85,47 @@ def compact_groups(spark: SparkSession, workdir: str) -> DataFrame:
     return (spark.read.parquet(delta)
             .groupBy(*_GROUP_KEYS)
             .agg(F.sum("cnt").alias("cnt")))
+
+
+def compact_to_base(spark: SparkSession, workdir: str) -> int:
+    """Rewrite the delta store as ONE merged base partition (`batch=-1`,
+    partition-style so Spark's partition discovery stays consistent with
+    later batch deltas), bounding store growth: the merged aggregate is
+    written to a staging directory (never in place), published by an
+    atomic rename of the `delta` root, and only then is the old store
+    dropped — a crash before the publish leaves the old store intact, a
+    crash after leaves a fully-published one. Deltas drained AFTER the
+    rewrite keep merging on top (the base folds into compact_groups'
+    groupBy-sum like any other partition). Returns the number of
+    partitions folded.
+
+    Call ONLY right after a clean ingest_transcripts return (its
+    awaitTermination guarantees every written delta is committed to the
+    stream checkpoint). Compacting a store whose LAST delta was written
+    but not committed would double-count that batch when the stream
+    replays it. Where Iceberg is available, MERGE INTO replaces this
+    whole function.
+
+    DataFrames handed out BEFORE the rewrite (compact_groups /
+    incremental_kg results) are lazy over the old partition paths and
+    are invalidated by it — re-call compact_groups afterwards, exactly
+    like re-reading any dropped-and-rewritten table."""
+    import shutil
+
+    delta = os.path.join(workdir, "delta")
+    parts = ([e for e in os.listdir(delta) if e.startswith("batch=")]
+             if os.path.isdir(delta) else [])
+    if not parts:
+        return 0
+    staged = os.path.join(workdir, f"_compact_stage_{uuid.uuid4().hex[:8]}")
+    (compact_groups(spark, workdir)
+     .write.mode("overwrite")
+     .parquet(os.path.join(staged, "batch=-1")))
+    old = os.path.join(workdir, f"_compact_old_{uuid.uuid4().hex[:8]}")
+    os.rename(delta, old)
+    os.rename(staged, delta)
+    shutil.rmtree(old)
+    return len(parts)
 
 
 def incremental_kg(spark: SparkSession, in_path: str, workdir: str,

@@ -321,3 +321,43 @@ def test_compact_groups_empty_workdir(spark, tmp_path):
     assert out.columns == ["subject", "predicate", "object", "obj_kind",
                            "cnt"]
     assert out.count() == 0
+
+
+def test_incremental_compact_to_base(spark, fixture_dir, tmp_path):
+    """compact_to_base folds the delta partitions into one batch=-1 base;
+    later drains merge on top, and the final aggregate still equals the
+    single-batch extraction over the full corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qse_spark.operators.extraction import extract_triple_groups
+    from qse_spark.streaming.incremental import (compact_groups,
+                                                 compact_to_base,
+                                                 ingest_transcripts)
+
+    src = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    convs = sorted(r[0] for r in src.select("conv_id").distinct().collect())
+    early = set(convs[: len(convs) // 2])
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (src.filter(F.col("conv_id").isin(list(early))).coalesce(1)
+     .write.parquet(str(in_dir / "day1")))
+    wd = str(tmp_path / "wd")
+    assert compact_to_base(spark, wd) == 0          # nothing ingested yet
+
+    ingest_transcripts(spark, str(in_dir) + "/*", wd, max_files=1)
+    folded = compact_to_base(spark, wd)
+    assert folded >= 1
+    delta = os.path.join(wd, "delta")
+    assert os.listdir(delta) == ["batch=-1"]
+    day1 = sorted(map(tuple, compact_groups(spark, wd).collect()))
+    assert day1 == sorted(map(tuple, extract_triple_groups(
+        src.filter(F.col("conv_id").isin(list(early)))).collect()))
+
+    (src.filter(~F.col("conv_id").isin(list(early))).coalesce(1)
+     .write.parquet(str(in_dir / "day2")))
+    ingest_transcripts(spark, str(in_dir) + "/*", wd, max_files=1)
+    assert any(d != "batch=-1" for d in os.listdir(delta))
+    merged = sorted(map(tuple, compact_groups(spark, wd).collect()))
+    assert merged == sorted(map(tuple, extract_triple_groups(src).collect()))
