@@ -58,6 +58,16 @@ def main():
                     help="dataset name used in reference-layout filenames")
     ap.add_argument("--grid", default="0.25:100,0.5:100",
                     help="pruning grid for --output-dir, as C:S[,C:S...]")
+    ap.add_argument("--incremental", action="store_true",
+                    help="treat --input as a GROWING directory: drain new "
+                         "files via Structured Streaming into per-batch "
+                         "triple-group deltas under --workdir (exactly-"
+                         "once), then build the KG from the merged "
+                         "aggregate; re-submitting resumes from the "
+                         "stream checkpoint and picks up only new files")
+    ap.add_argument("--compact", action="store_true",
+                    help="with --incremental: fold the delta store into "
+                         "one base partition after the drain")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -74,17 +84,20 @@ def main():
                                           n_turns=args.fixture_turns),
                            "transcripts.parquet")
 
+    cfg = PipelineConfig(
+        tau=args.tau, salt=args.salt, scorer=args.scorer,
+        token_max_df=args.token_max_df,
+        fuse_extract=not args.materialize_turn_triples,
+        approx=args.approx, approx_max_cap=args.approx_max_cap,
+        approx_target_pct=args.approx_target_pct)
     counters: list = []
     t0 = time.time()
-    out = run_pipeline(spark, inp, workdir=args.workdir,
-                       config=PipelineConfig(
-                           tau=args.tau, salt=args.salt, scorer=args.scorer,
-                           token_max_df=args.token_max_df,
-                           fuse_extract=not args.materialize_turn_triples,
-                           approx=args.approx,
-                           approx_max_cap=args.approx_max_cap,
-                           approx_target_pct=args.approx_target_pct),
-                       counters=counters)
+    if args.incremental:
+        from qse_spark.streaming.incremental import incremental_kg
+        out = incremental_kg(spark, inp, args.workdir, config=cfg)
+    else:
+        out = run_pipeline(spark, inp, workdir=args.workdir, config=cfg,
+                           counters=counters)
     n = out["shape_stats"].count()
     triples_out = None
     if args.triples_out:
@@ -113,6 +126,13 @@ def main():
         written = write_reference_outputs(st, cc, args.output_dir,
                                           args.dataset, grid=grid,
                                           sampled=args.approx)
+    if args.incremental and args.compact:
+        # LAST, after every consumer of the lazy delta-backed frames:
+        # the rewrite invalidates pre-compaction DataFrame handles
+        from qse_spark.streaming.incremental import compact_to_base
+        counters.append({"stage": "compact_to_base",
+                         "parts_folded": compact_to_base(spark,
+                                                         args.workdir)})
     print(json.dumps({"shape_stat_rows": n,
                       "elapsed_sec": round(time.time() - t0, 2),
                       "stages": counters, "outputs": written,
