@@ -248,3 +248,35 @@ def test_tfidf_prefix_filter_lossless(spark):
                    for k in direct), tau
     # the dup pair must be present at every tau with cosine ~1.0
     assert math.isclose(run(True)[(1, 2)], 1.0, rel_tol=1e-12)
+
+
+def test_tfidf_prefix_filter_lossless_random_worlds(spark):
+    """Prefix-vs-direct equality over seeded random worlds with Zipf-ish
+    token draws (hot heads land in suffixes, rare tails in prefixes) —
+    the structural regimes the fixed fixture can't cover: singleton
+    token docs, all-hot docs, disjoint vocabularies, repeated tf."""
+    import math
+
+    import numpy as np
+
+    from qse_spark.operators.linking import tfidf_cosine_pairs
+
+    for seed in (3, 11, 27):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{j}" for j in range(40)]
+        p = 1.0 / np.arange(1, len(vocab) + 1)
+        p /= p.sum()
+        rows = []
+        for did in range(30):
+            n = int(rng.integers(1, 25))
+            rows.append((did, " ".join(rng.choice(vocab, size=n, p=p))))
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        for tau in (0.55, 0.9):
+            def run(pf):
+                out = tfidf_cosine_pairs(d, tau=tau, id_col="doc_id",
+                                         text_col="text", prefix_filter=pf)
+                return {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+            direct, prefix = run(False), run(True)
+            assert set(direct) == set(prefix), (seed, tau)
+            assert all(math.isclose(direct[k], prefix[k], rel_tol=1e-9)
+                       for k in direct), (seed, tau)
