@@ -124,3 +124,24 @@ def test_needle_hit_regex_miss_does_not_consume(spark):
     assert {(r["subject"], r["predicate"]) for r in got} == {
         ("search_web", "returnedStatus"),
         ("search_web", "rdf:type")}
+
+
+def test_salt_spreads_giant_conversation(spark):
+    """The north rule's conversation-salted repartition must actually
+    SPREAD one giant conversation across partitions (the whole point of
+    the salt: a hot conv_id cannot pin a single task), while salt=0
+    leaves the input partitioning alone."""
+    from pyspark.sql import functions as F
+
+    from qse_spark.operators.extraction import _salted
+
+    giant = spark.createDataFrame(
+        [("conv-hot", i, "user", f"Person{i} is {20 + i % 50} years old.",
+          None, None) for i in range(20_000)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    n_parts = (_salted(giant, salt=8)
+               .select(F.spark_partition_id().alias("p"))
+               .distinct().count())
+    assert n_parts >= min(8, spark.sparkContext.defaultParallelism) // 2, \
+        f"giant conversation still pinned to {n_parts} partition(s)"
