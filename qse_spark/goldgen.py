@@ -465,6 +465,91 @@ def gold_mm_real(doc_ids: list[int]) -> pa.Table:
     })
 
 
+def gold_mm_resize_decoded(doc_ids: list[int],
+                           max_side: int = 256) -> pa.Table:
+    """Twin of decode_media(resize_media(synth_media(ids)), fake=False):
+    the decoded features of the post-surgery payloads, predicted straight
+    from the synth formula with an independent fit implementation —
+    m = max(w, h); unchanged when m <= max_side, else integer-floor
+    (w*max_side//m, h*max_side//m) clamped to >= 1. Resized PNG bytes are
+    re-synthesized with the new dims and a REAL IHDR CRC (surgery
+    recomputes it); resized JPEG bytes carry the new dims in the SOF
+    frame header; WAV and within-box images are byte-identical to
+    gold_mm_real's bodies."""
+    mid, kind, fmt, nb, crc = [], [], [], [], []
+    w, h, ch, sr, nf = [], [], [], [], []
+    png_sig = bytes([0x89]) + b"PNG" + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+
+    def _fit(wi, hi):
+        m = max(wi, hi)
+        if m <= max_side:
+            return wi, hi
+        return max(1, wi * max_side // m), max(1, hi * max_side // m)
+
+    for i in sorted(doc_ids):
+        mid.append(i)
+        if i % 2 == 0:
+            wi, hi = 16 + i % 512, 16 + (i * 7) % 512
+            nw, nh = _fit(wi, hi)
+            ihdr_data = (nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
+                         + bytes([8, 6, 0, 0, 0]))
+            ihdr_crc = (zlib.crc32(b"IHDR" + ihdr_data).to_bytes(4, "big")
+                        if (nw, nh) != (wi, hi) else bytes(4))
+            body = (png_sig + (13).to_bytes(4, "big") + b"IHDR"
+                    + ihdr_data + ihdr_crc
+                    + (0).to_bytes(4, "big") + b"IEND" + bytes(4))
+            kind.append("image"); fmt.append("png")
+            w.append(nw); h.append(nh)
+            ch.append(None); sr.append(None); nf.append(1)
+        elif i % 4 == 3:
+            wi, hi = 16 + (i * 3) % 512, 16 + (i * 5) % 512
+            nw, nh = _fit(wi, hi)
+            sof = 0xC2 if i % 8 == 7 else 0xC0
+            body = (bytes([0xFF, 0xD8, 0xFF, 0xE0]) + (16).to_bytes(2, "big")
+                    + b"JFIF" + bytes([0, 1, 1, 0])
+                    + (1).to_bytes(2, "big") + (1).to_bytes(2, "big")
+                    + bytes([0, 0])
+                    + bytes([0xFF, sof]) + (17).to_bytes(2, "big")
+                    + bytes([8]) + nh.to_bytes(2, "big")
+                    + nw.to_bytes(2, "big")
+                    + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+                    + bytes([0xFF, 0xD9]))
+            kind.append("image"); fmt.append("jpeg")
+            w.append(nw); h.append(nh)
+            ch.append(None); sr.append(None); nf.append(1)
+        else:
+            c = 1 + i % 2
+            rate = 8000 + (i % 5) * 1000
+            frames = 100 + i % 400
+            align = c * 2
+            body = (b"RIFF" + (36 + frames * align).to_bytes(4, "little")
+                    + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little") + c.to_bytes(2, "little")
+                    + rate.to_bytes(4, "little")
+                    + (rate * align).to_bytes(4, "little")
+                    + align.to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                    + b"data" + (frames * align).to_bytes(4, "little")
+                    + bytes(frames * align))
+            kind.append("audio"); fmt.append("wav")
+            w.append(None); h.append(None)
+            ch.append(c); sr.append(rate); nf.append(frames)
+        nb.append(len(body))
+        crc.append(zlib.crc32(body))
+    return pa.table({
+        "media_id": pa.array(mid, pa.int64()),
+        "kind": pa.array(kind, pa.string()),
+        "format": pa.array(fmt, pa.string()),
+        "n_bytes": pa.array(nb, pa.int32()),
+        "crc32": pa.array(crc, pa.int64()),
+        "width": pa.array(w, pa.int32()),
+        "height": pa.array(h, pa.int32()),
+        "channels": pa.array(ch, pa.int32()),
+        "sample_rate": pa.array(sr, pa.int32()),
+        "n_frames": pa.array(nf, pa.int32()),
+    })
+
+
 def gold_mm_frames(features: pa.Table, every_n: int = 8) -> pa.Table:
     mid, fidx = [], []
     for did, kd, nf in zip(features["media_id"].to_pylist(),
@@ -633,7 +718,7 @@ def gold_winnow(docs: list[tuple[int, str]], k: int = 8,
 
 # ------------------------------------------------------------ orchestration
 
-_GOLD_VERSION = 8
+_GOLD_VERSION = 9
 
 
 def ensure_training_gold(sf_dir: str) -> str:
@@ -686,6 +771,8 @@ def ensure_training_gold(sf_dir: str) -> str:
                    os.path.join(out_dir, "mm_frames.parquet"))
     pq.write_table(gold_mm_real([d for d, _ in docs]),
                    os.path.join(out_dir, "mm_real.parquet"))
+    pq.write_table(gold_mm_resize_decoded([d for d, _ in docs], max_side=256),
+                   os.path.join(out_dir, "mm_real_resized.parquet"))
     with open(meta_p, "w") as f:
         json.dump({"fp": fp, "sf_dir": sf_dir}, f)
     return out_dir

@@ -247,6 +247,128 @@ def synth_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
               .mapInPandas(_batches, MEDIA_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("mime", StringType()),
+    StructField("src_width", IntegerType()),
+    StructField("src_height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("resampled", StringType()),   # header | none
+])
+
+_RESIZE_COLS = [f.name for f in RESIZE_SCHEMA.fields]
+
+
+def fit_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) inside a max_side box, integer
+    floor math (deterministic, gold-twin-reproducible), never upscaling
+    and never collapsing a dimension to zero."""
+    m = max(w, h)
+    if m <= max_side:
+        return w, h
+    return max(1, w * max_side // m), max(1, h * max_side // m)
+
+
+def _resize_png(p: bytes, w: int, h: int) -> bytes:
+    """Rewrite the IHDR width/height fields (offsets 16/20, PNG spec
+    §11.2.2) and recompute the IHDR CRC (crc32 over chunk type + data,
+    spec §5.3) so the output is a structurally valid PNG header."""
+    out = bytearray(p)
+    out[16:24] = struct.pack(">II", w, h)
+    crc = zlib.crc32(out[12:16] + out[16:29])
+    out[29:33] = struct.pack(">I", crc)
+    return bytes(out)
+
+
+def _find_jpeg_sof(p: bytes) -> int | None:
+    """Byte offset of the first SOFn marker (the 0xFF byte), or None —
+    same marker walk as _parse_jpeg, returning position instead of dims."""
+    pos = 2
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            return None
+        marker = p[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            return None
+        (size,) = struct.unpack(">H", p[pos + 2:pos + 4])
+        if size < 2:
+            return None
+        if marker in _SOF_MARKERS:
+            return pos if size >= 7 and pos + 9 <= len(p) else None
+        pos += 2 + size
+    return None
+
+
+def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving downscale of image payloads to fit a
+    `max_side` box — Arrow-batched mapInPandas, same plumbing contract
+    as decode_media.
+
+    What is REAL: the target-dimension math (fit_dims) and the container
+    surgery — the PNG IHDR (dims + recomputed CRC) and JPEG SOFn frame
+    header are rewritten byte-level in the payload, so decode_media on
+    the output reads the NEW dimensions (round-trip tested and
+    driver-oracled through the mm_decode_real row). What is STUBBED,
+    per the task brief's stub policy: pixel resampling of the entropy-
+    coded scan data needs a codec library absent from this container —
+    the scan bytes pass through untouched and the `resampled` column
+    says 'header' (dims rewritten, pixels not), never silently. Swapping
+    in PIL/ffmpeg changes only the per-row body, no Spark structure.
+
+    Non-image payloads (WAV/unknown) and images already inside the box
+    pass through byte-identical with resampled='none'. Reference parity:
+    QSE has no media path; this is task-brief surface (decode /
+    feature-extract / resize / frame-sample)."""
+
+    def _row(mid, kind, payload, mime):
+        p = bytes(payload or b"")
+        base = {"media_id": int(mid), "kind": kind, "payload": p,
+                "mime": mime, "src_width": None, "src_height": None,
+                "width": None, "height": None, "resampled": "none"}
+        png = _parse_png(p)
+        if png is not None:
+            w, h = png
+            nw, nh = fit_dims(w, h, max_side)
+            if (nw, nh) != (w, h):
+                base.update(payload=_resize_png(p, nw, nh),
+                            resampled="header")
+            base.update(src_width=w, src_height=h, width=nw, height=nh)
+            return base
+        jpg = _parse_jpeg(p)
+        if jpg is not None:
+            w, h = jpg
+            nw, nh = fit_dims(w, h, max_side)
+            if (nw, nh) != (w, h):
+                pos = _find_jpeg_sof(p)
+                out = bytearray(p)
+                out[pos + 5:pos + 9] = struct.pack(">HH", nh, nw)
+                base.update(payload=bytes(out), resampled="header")
+            base.update(src_width=w, src_height=h, width=nw, height=nh)
+            return base
+        return base
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_row(m, k, p, mm) for m, k, p, mm in
+                    zip(pdf["media_id"], pdf["kind"], pdf["payload"],
+                        pdf["mime"])]
+            out = pd.DataFrame(rows, columns=_RESIZE_COLS)
+            for c in ("src_width", "src_height", "width", "height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
 def frame_sample(features: DataFrame, every_n: int = 8) -> DataFrame:
     """Deterministic frame subsampling plan for video rows: one output row
     per kept frame index (pure Spark, no decode)."""

@@ -216,6 +216,70 @@ def test_multimodal_real_decode_matches_gold(spark):
         assert g.asDict() == x, g["media_id"]
 
 
+def test_fit_dims_math():
+    """Aspect-fit is floor-deterministic, never upscales, never hits 0."""
+    assert multimodal.fit_dims(100, 50, 256) == (100, 50)   # inside box
+    assert multimodal.fit_dims(256, 256, 256) == (256, 256)  # on boundary
+    assert multimodal.fit_dims(512, 256, 256) == (256, 128)
+    assert multimodal.fit_dims(512, 1, 256) == (256, 1)      # clamp to 1
+    assert multimodal.fit_dims(1000, 3, 256) == (256, 1)     # floor then clamp
+    w, h = multimodal.fit_dims(527, 511, 256)
+    assert max(w, h) == 256 and w >= h                       # aspect kept
+
+
+def test_resize_media_header_surgery_roundtrips(spark):
+    """resize_media rewrites the PNG IHDR (dims + recomputed CRC) and the
+    JPEG SOF frame header; the REAL decoder then reads the new dims, and
+    within-box / non-image payloads pass through byte-identical."""
+    import zlib as _z
+    ids = spark.range(0, 24).select(F.col("id").alias("media_id"))
+    media = multimodal.synth_media(ids)
+    rs = {r["media_id"]: r for r in
+          multimodal.resize_media(media, max_side=256).collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert len(rs) == 24
+    for i in range(24):
+        r = rs[i]
+        if i % 4 == 1:        # wav: untouched, dims null
+            assert r["resampled"] == "none" and r["width"] is None
+            assert bytes(r["payload"]) == bytes(src[i]["payload"])
+            continue
+        assert max(r["width"], r["height"]) <= 256
+        if (r["width"], r["height"]) == (r["src_width"], r["src_height"]):
+            assert r["resampled"] == "none"
+            assert bytes(r["payload"]) == bytes(src[i]["payload"])
+        else:
+            assert r["resampled"] == "header"
+            p = bytes(r["payload"])
+            if i % 2 == 0:    # resized PNG carries a VALID IHDR CRC
+                assert _z.crc32(p[12:29]) == int.from_bytes(p[29:33], "big")
+    # the real decoder reads the post-surgery dims
+    dec = {r["media_id"]: r for r in multimodal.decode_media(
+        multimodal.resize_media(media, max_side=256)
+        .select("media_id", "kind", "payload", "mime"),
+        fake=False).collect()}
+    for i in range(24):
+        if i % 4 != 1:
+            assert (dec[i]["width"], dec[i]["height"]) == \
+                (rs[i]["width"], rs[i]["height"])
+
+
+def test_resize_decoded_matches_gold(spark):
+    """decode(resize(synth)) == goldgen's independent formula twin
+    (gold re-synthesizes the post-surgery bytes, including the IHDR CRC,
+    without running the surgery code)."""
+    from qse_spark.goldgen import gold_mm_resize_decoded
+    ids = spark.range(0, 40).select(F.col("id").alias("media_id"))
+    got = (multimodal.decode_media(
+        multimodal.resize_media(multimodal.synth_media(ids), max_side=256)
+        .select("media_id", "kind", "payload", "mime"), fake=False)
+        .orderBy("media_id").collect())
+    gold = gold_mm_resize_decoded(list(range(40)), max_side=256).to_pylist()
+    assert len(got) == len(gold) == 40
+    for g, x in zip(got, gold):
+        assert g.asDict() == x, g["media_id"]
+
+
 def test_ivf_recall_on_clustered_data(spark):
     # same clustered corpus as the LSH recall test: with enough probes the
     # query's own cluster cell is always searched
