@@ -159,6 +159,64 @@ def test_media_synth_decode_roundtrip_scalar(i):
     assert len(p) == gold["n_bytes"] and _z.crc32(p) == gold["crc32"]
 
 
+@given(w=st.integers(1, 2 ** 31 - 1), h=st.integers(1, 2 ** 31 - 1),
+       ms=st.integers(1, 4096))
+@settings(deadline=None, max_examples=300)
+@example(w=2 ** 31 - 1, h=1, ms=1)     # extreme aspect: floor-to-0 clamp
+@example(w=257, h=256, ms=256)         # just over the box
+def test_resize_fit_and_png_surgery_scalar(w, h, ms):
+    """fit_dims invariants on ARBITRARY dims (never upscale, max side
+    lands exactly on the box when shrinking, orientation preserved,
+    never 0) and the PNG IHDR surgery round-trips through the real
+    parser with a valid chunk CRC."""
+    import struct as _s
+    import zlib as _z
+
+    from qse_spark.operators.multimodal import (_parse_png, _resize_png,
+                                                fit_dims)
+    nw, nh = fit_dims(w, h, ms)
+    assert 1 <= nw <= w and 1 <= nh <= h
+    if max(w, h) <= ms:
+        assert (nw, nh) == (w, h)
+    else:
+        assert max(nw, nh) == ms
+    # orientation never flips (clamp-to-1 may equalize, never invert)
+    assert nw >= nh if w >= h else nh >= nw
+    ihdr = _s.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+    p = (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + ihdr
+         + b"\x00" * 4 + _s.pack(">I", 0) + b"IEND" + b"\x00" * 4)
+    out = _resize_png(p, nw, nh)
+    assert _parse_png(out) == (nw, nh)
+    assert len(out) == len(p)
+    assert _z.crc32(out[12:29]) == int.from_bytes(out[29:33], "big")
+
+
+@given(w=st.integers(1, 65535), h=st.integers(1, 65535),
+       ms=st.integers(1, 4096))
+@settings(deadline=None, max_examples=300)
+def test_resize_jpeg_sof_surgery_scalar(w, h, ms):
+    """JPEG SOF locate + dim patch (the byte surgery resize_media's
+    image branch performs) round-trips through _parse_jpeg for
+    arbitrary u16 dims."""
+    import struct as _s
+
+    from qse_spark.operators.multimodal import (_find_jpeg_sof,
+                                                _parse_jpeg, fit_dims)
+    app0 = (b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + _s.pack(">HH", 1, 1) + bytes([0, 0]))
+    frame = (b"\xff\xc0" + _s.pack(">H", 17) + bytes([8])
+             + _s.pack(">HH", h, w)
+             + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    p = b"\xff\xd8" + app0 + frame + b"\xff\xd9"
+    assert _parse_jpeg(p) == (w, h)
+    nw, nh = fit_dims(w, h, ms)
+    pos = _find_jpeg_sof(p)
+    assert pos is not None
+    out = bytearray(p)
+    out[pos + 5:pos + 9] = _s.pack(">HH", nh, nw)
+    assert _parse_jpeg(bytes(out)) == (nw, nh)
+
+
 _LITERAL = st.text(
     alphabet=st.one_of(
         st.characters(min_codepoint=32, max_codepoint=0x2FF),
