@@ -400,7 +400,8 @@ def gold_mm_real(doc_ids: list[int]) -> pa.Table:
     decoded feature is predicted straight from the synth formula (even id
     -> PNG of 16+i%512 x 16+7i%512, i%4==3 -> JPEG of 16+3i%512 x
     16+5i%512, i%4==1 -> WAV of 1+i%2 channels at 8000+(i%5)*1000 Hz with
-    100+i%400 frames) — no parsing, so a header mis-parse on the Spark
+    100+i%400 frames, i%8==5 -> AVI video of 16+9i%512 x 16+11i%512 with
+    10+i%240 frames) — no parsing, so a header mis-parse on the Spark
     side cannot be mirrored here. Byte counts / CRCs come from an
     independent re-synthesis of the same byte spec."""
     mid, kind, fmt, nb, crc = [], [], [], [], []
@@ -432,6 +433,20 @@ def gold_mm_real(doc_ids: list[int]) -> pa.Table:
             kind.append("image"); fmt.append("jpeg")
             w.append(wi); h.append(hi)
             ch.append(None); sr.append(None); nf.append(1)
+        elif i % 8 == 5:
+            wi, hi = 16 + (i * 9) % 512, 16 + (i * 11) % 512
+            frames = 10 + i % 240
+            avih = (b"".join(v.to_bytes(4, "little") for v in
+                             (33367, 0, 0, 0, frames, 0, 1, 0, wi, hi))
+                    + bytes(16))
+            hdrl = b"hdrl" + b"avih" + (56).to_bytes(4, "little") + avih
+            body = (b"RIFF" + (4 + 8 + len(hdrl) + 12).to_bytes(4, "little")
+                    + b"AVI " + b"LIST"
+                    + len(hdrl).to_bytes(4, "little") + hdrl
+                    + b"LIST" + (4).to_bytes(4, "little") + b"movi")
+            kind.append("video"); fmt.append("avi")
+            w.append(wi); h.append(hi)
+            ch.append(None); sr.append(None); nf.append(frames)
         else:
             c = 1 + i % 2
             rate = 8000 + (i % 5) * 1000
@@ -517,6 +532,21 @@ def gold_mm_resize_decoded(doc_ids: list[int],
             kind.append("image"); fmt.append("jpeg")
             w.append(nw); h.append(nh)
             ch.append(None); sr.append(None); nf.append(1)
+        elif i % 8 == 5:
+            # AVI video: resize_media is image-only, byte-identical pass
+            wi, hi = 16 + (i * 9) % 512, 16 + (i * 11) % 512
+            frames = 10 + i % 240
+            avih = (b"".join(v.to_bytes(4, "little") for v in
+                             (33367, 0, 0, 0, frames, 0, 1, 0, wi, hi))
+                    + bytes(16))
+            hdrl = b"hdrl" + b"avih" + (56).to_bytes(4, "little") + avih
+            body = (b"RIFF" + (4 + 8 + len(hdrl) + 12).to_bytes(4, "little")
+                    + b"AVI " + b"LIST"
+                    + len(hdrl).to_bytes(4, "little") + hdrl
+                    + b"LIST" + (4).to_bytes(4, "little") + b"movi")
+            kind.append("video"); fmt.append("avi")
+            w.append(wi); h.append(hi)
+            ch.append(None); sr.append(None); nf.append(frames)
         else:
             c = 1 + i % 2
             rate = 8000 + (i % 5) * 1000
@@ -718,7 +748,7 @@ def gold_winnow(docs: list[tuple[int, str]], k: int = 8,
 
 # ------------------------------------------------------------ orchestration
 
-_GOLD_VERSION = 9
+_GOLD_VERSION = 10
 
 
 def ensure_training_gold(sf_dir: str) -> str:

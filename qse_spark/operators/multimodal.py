@@ -3,13 +3,14 @@
 Two decode paths, both Arrow-batched through `mapInPandas`:
 
 - REAL header decode (`decode_media(..., fake=False)`): dependency-free
-  `struct`-level parsing of the two most common container headers — PNG
-  IHDR (width/height, PNG spec §11.2.2) and RIFF/WAVE fmt+data chunks
-  (channels/sample rate/sample count) — pure public file-format knowledge,
+  `struct`-level parsing of one common container header per media kind —
+  PNG IHDR and JPEG SOFn (width/height), RIFF/WAVE fmt+data chunks
+  (channels/sample rate/sample count), and RIFF/AVI avih
+  (width/height/total frames) — pure public file-format knowledge,
   no codec libraries needed.
 - FAKE decode (`fake=True`): a deterministic CRC-derived stand-in for
-  payloads whose formats need a real codec library (JPEG entropy scan,
-  video containers). The Spark-side plumbing — binary schema, Arrow batch
+  payloads whose formats need a real codec library (pixel/entropy scan
+  decode, other containers). The Spark-side plumbing — binary schema, Arrow batch
   shape, UDF signature, partitioning — is identical in both paths, so
   swapping in PIL/torchaudio/ffmpeg changes nothing structurally.
 
@@ -134,6 +135,41 @@ def _parse_wav(p: bytes):
     return ch, sr, data_size // align
 
 
+def _parse_avi(p: bytes):
+    """(width, height, n_frames) from a RIFF/AVI MainAVIHeader, or None.
+    Walks top-level RIFF chunks to the LIST/hdrl, then its sub-chunks to
+    `avih` (public AVI/RIFF spec: avih data is 14 LE u32s — frame period,
+    rates, flags, dwTotalFrames at offset 16, dwWidth/dwHeight at 32/36).
+    Same lying-header posture as the other parsers: dims must be positive
+    and fit Int32, the frame count non-negative and Int32-safe; word-
+    aligned chunk advance; truncated lists return None, never crash."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    pos = 12
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        (size,) = struct.unpack("<I", p[pos + 4:pos + 8])
+        if (cid == b"LIST" and pos + 12 <= len(p)
+                and p[pos + 8:pos + 12] == b"hdrl"):
+            inner = pos + 12
+            end = min(len(p), pos + 8 + size)
+            while inner + 8 <= end:
+                c2 = p[inner:inner + 4]
+                (s2,) = struct.unpack("<I", p[inner + 4:inner + 8])
+                if c2 == b"avih" and s2 >= 40 and inner + 48 <= len(p):
+                    d = p[inner + 8:inner + 48]
+                    (frames,) = struct.unpack("<I", d[16:20])
+                    w, h = struct.unpack("<II", d[32:40])
+                    if (0 < w < 2 ** 31 and 0 < h < 2 ** 31
+                            and frames < 2 ** 31):
+                        return w, h, frames
+                    return None
+                inner += 8 + s2 + (s2 & 1)
+            return None
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real decoder: dimensions derived from a
     stable checksum of the payload."""
@@ -145,7 +181,7 @@ def decode_media(media: DataFrame, fake: bool = False,
                  strict: bool = True) -> DataFrame:
     """Binary payload -> typed feature row, Arrow-batched.
 
-    fake=False (the real path) header-parses PNG, JPEG and WAV payloads
+    fake=False (the real path) header-parses PNG, JPEG, WAV and AVI payloads
     with zero dependencies; an unrecognized format raises (strict=True) or
     falls back to the CRC fake tagged format='fake' (strict=False), so a
     fallback is always visible in the output, never silent. fake=True
@@ -169,9 +205,13 @@ def decode_media(media: DataFrame, fake: bool = False,
             if wav is not None:
                 return {**base, "format": "wav", "channels": wav[0],
                         "sample_rate": wav[1], "n_frames": wav[2]}
+            avi = _parse_avi(p)
+            if avi is not None:
+                return {**base, "format": "avi", "width": avi[0],
+                        "height": avi[1], "n_frames": avi[2]}
             if strict:
                 raise ValueError(
-                    f"media_id={mid}: payload is not PNG/JPEG/WAV; "
+                    f"media_id={mid}: payload is not PNG/JPEG/WAV/AVI; "
                     "real decode of this format needs a codec library "
                     "(pass strict=False for the CRC fake fallback)")
         w, h, nf = _fake_decode(p)
@@ -192,9 +232,10 @@ def decode_media(media: DataFrame, fake: bool = False,
 
 
 def synth_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """Deterministic tiny PNG/JPEG/WAV payload per id (even ids -> PNG,
-    i%4==1 -> WAV, i%4==3 -> JPEG with SOF2-progressive every i%8==7) for
-    exercising the real decode path without codec libraries.
+    """Deterministic tiny PNG/JPEG/WAV/AVI payload per id (even ids ->
+    PNG, i%8==5 -> AVI video, other i%4==1 -> WAV, i%4==3 -> JPEG with
+    SOF2-progressive every i%8==7) for exercising the real decode path
+    without codec libraries — one real format per media kind.
     Geometry/audio parameters are pure functions of the id, so an
     independent oracle can predict every decoded feature without parsing
     (goldgen.gold_mm_real). Fixture generator — the pandas UDF here is
@@ -218,6 +259,15 @@ def synth_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             frame = (bytes([0xFF, sof]) + struct.pack(">H", 8 + 9)
                      + bytes([8]) + struct.pack(">HH", h, w) + comps)
             return b"\xff\xd8" + app0 + frame + b"\xff\xd9"
+        if i % 8 == 5:
+            w, h = 16 + (i * 9) % 512, 16 + (i * 11) % 512
+            frames = 10 + i % 240
+            avih = struct.pack("<IIIIIIIIII", 33367, 0, 0, 0, frames,
+                               0, 1, 0, w, h) + b"\x00" * 16
+            hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + avih
+            movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+            body = (b"LIST" + struct.pack("<I", len(hdrl)) + hdrl + movi)
+            return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
         ch = 1 + i % 2
         sr = 8000 + (i % 5) * 1000
         nsamp = 100 + i % 400
@@ -231,14 +281,17 @@ def synth_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     def _mime(i: int) -> str:
         if i % 2 == 0:
             return "image/png"
-        return "image/jpeg" if i % 4 == 3 else "audio/wav"
+        if i % 4 == 3:
+            return "image/jpeg"
+        return "video/x-msvideo" if i % 8 == 5 else "audio/wav"
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             mids = [int(m) for m in pdf[id_col]]
             yield pd.DataFrame({
                 "media_id": mids,
-                "kind": ["audio" if m % 4 == 1 else "image" for m in mids],
+                "kind": [("video" if m % 8 == 5 else "audio")
+                         if m % 4 == 1 else "image" for m in mids],
                 "payload": [_payload(m) for m in mids],
                 "mime": [_mime(m) for m in mids],
             })
@@ -372,7 +425,8 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
 def frame_sample(features: DataFrame, every_n: int = 8) -> DataFrame:
     """Deterministic frame subsampling plan for video rows: one output row
     per kept frame index (pure Spark, no decode)."""
-    return (features.filter(F.col("kind") == "video")
+    return (features.filter((F.col("kind") == "video")
+                            & (F.col("n_frames") >= 1))
             .withColumn("frame_idx", F.explode(F.sequence(
                 F.lit(0), F.col("n_frames") - 1, F.lit(every_n))))
             .select("media_id", "frame_idx"))

@@ -84,6 +84,9 @@ def test_winnow_twin_matches_spark(spark, texts):
 @example(payload=b"\x89PNG\r\n\x1a\n")            # signature, no IHDR
 @example(payload=b"RIFF\x00\x00\x00\x00WAVE")     # WAVE, no chunks
 @example(payload=b"RIFF\xff\xff\xff\xffWAVEfmt \xff\xff\xff\xff")
+@example(payload=b"RIFF\x00\x00\x00\x00AVI ")     # AVI, no LIST
+@example(payload=b"RIFF\xff\xff\xff\xffAVI LIST\xff\xff\xff\xffhdrl"
+                 b"avih\xff\xff\xff\xff")          # lying list/chunk sizes
 # lying u32 PNG width (0xFFFFFFFF) — must reject, not overflow Int32
 @example(payload=b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
                  b"\xff\xff\xff\xff\x00\x00\x00\x10\x08\x06\x00\x00\x00")
@@ -95,8 +98,9 @@ def test_media_header_parsers_never_crash(payload):
     """_parse_png/_parse_wav must return a tuple or None on ARBITRARY
     bytes — truncated chunks, lying sizes, empty input — never raise
     (they run inside an Arrow batch on whatever binary a corpus holds)."""
-    from qse_spark.operators.multimodal import _parse_png, _parse_wav
-    for parse in (_parse_png, _parse_wav):
+    from qse_spark.operators.multimodal import (_parse_avi, _parse_png,
+                                                _parse_wav)
+    for parse in (_parse_png, _parse_wav, _parse_avi):
         out = parse(payload)
         assert out is None or isinstance(out, tuple)
         if out is not None:
@@ -142,6 +146,19 @@ def test_media_synth_decode_roundtrip_scalar(i):
                  + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
         p = b"\xff\xd8" + app0 + frame + b"\xff\xd9"
         assert _parse_jpeg(p) == (gold["width"], gold["height"])
+        assert _parse_png(p) is None and _parse_wav(p) is None
+    elif i % 8 == 5:
+        from qse_spark.operators.multimodal import _parse_avi
+        w, h = 16 + (i * 9) % 512, 16 + (i * 11) % 512
+        frames = 10 + i % 240
+        avih = _s.pack("<IIIIIIIIII", 33367, 0, 0, 0, frames,
+                       0, 1, 0, w, h) + bytes(16)
+        hdrl = b"hdrl" + b"avih" + _s.pack("<I", 56) + avih
+        p = (b"RIFF" + _s.pack("<I", 4 + 8 + len(hdrl) + 12) + b"AVI "
+             + b"LIST" + _s.pack("<I", len(hdrl)) + hdrl
+             + b"LIST" + _s.pack("<I", 4) + b"movi")
+        assert _parse_avi(p) == (gold["width"], gold["height"],
+                                 gold["n_frames"])
         assert _parse_png(p) is None and _parse_wav(p) is None
     else:
         ch = 1 + i % 2

@@ -195,6 +195,12 @@ def test_multimodal_real_header_decode(spark):
             assert r["height"] == 16 + (i * 5) % 512
             assert r["channels"] is None and r["sample_rate"] is None
             assert r["n_frames"] == 1
+        elif i % 8 == 5:
+            assert r["format"] == "avi" and r["kind"] == "video"
+            assert r["width"] == 16 + (i * 9) % 512
+            assert r["height"] == 16 + (i * 11) % 512
+            assert r["n_frames"] == 10 + i % 240
+            assert r["channels"] is None and r["sample_rate"] is None
         else:
             assert r["format"] == "wav" and r["kind"] == "audio"
             assert r["channels"] == 1 + i % 2
@@ -214,6 +220,21 @@ def test_multimodal_real_decode_matches_gold(spark):
     assert len(got) == len(gold) == 30
     for g, x in zip(got, gold):
         assert g.asDict() == x, g["media_id"]
+
+
+def test_frame_sample_on_real_avi_decode(spark):
+    """frame_sample over REAL decoded AVI metadata: one row per kept
+    frame index, step every_n, bounded by the avih dwTotalFrames the
+    header parser read (not a fake)."""
+    ids = spark.range(0, 64).select(F.col("id").alias("media_id"))
+    feats = multimodal.decode_media(multimodal.synth_media(ids), fake=False)
+    got = {}
+    for r in multimodal.frame_sample(feats, every_n=7).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    vids = [i for i in range(64) if i % 8 == 5]
+    assert sorted(got) == vids                 # only video rows sampled
+    for i in vids:
+        assert sorted(got[i]) == list(range(0, 10 + i % 240, 7))
 
 
 def test_fit_dims_math():
