@@ -44,6 +44,41 @@ from ..pipeline import PipelineConfig, kg_from_groups
 from .extract import TRANSCRIPT_DDL
 
 
+# Deterministic publish-staging names: compact_to_base is single-writer
+# by contract (see its docstring), and fixed names are what lets
+# _recover_store identify and finish an interrupted publish.
+_STAGE = "_compact_stage"
+_OLD = "_compact_old"
+
+
+def _recover_store(workdir: str) -> None:
+    """Finish an interrupted compact_to_base publish before touching the
+    store. The publish is two renames (delta->old, staged->delta); a
+    crash between them leaves the store only at `old` — without this
+    roll-forward, later reads would silently see an EMPTY store while
+    the stream checkpoint says everything was consumed (total silent
+    data loss). The staged store is complete whenever it exists next to
+    a missing `delta`: rename #1 runs only after the staged write
+    returns. Crash cases:
+      during staged write .. delta intact -> drop the stale stage
+      between renames ...... roll forward (staged -> delta), drop old
+      after rename #2 ...... delta intact -> drop the leftover old"""
+    import shutil
+
+    delta = os.path.join(workdir, "delta")
+    staged = os.path.join(workdir, _STAGE)
+    old = os.path.join(workdir, _OLD)
+    if not os.path.isdir(delta) and os.path.isdir(old):
+        if os.path.isdir(staged):
+            os.rename(staged, delta)
+        else:
+            os.rename(old, delta)
+    if os.path.isdir(delta):
+        for stale in (staged, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+
+
 def ingest_transcripts(spark: SparkSession, in_path: str, workdir: str,
                        salt: int = 0, max_files: int = 4) -> str:
     """Drain all currently-available transcript files into per-batch
@@ -54,6 +89,7 @@ def ingest_transcripts(spark: SparkSession, in_path: str, workdir: str,
     files arrive, or swap the trigger for a processingTime one to run
     continuously; the stream checkpoint makes either mode resume where
     it left off."""
+    _recover_store(workdir)
     delta = os.path.join(workdir, "delta")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -78,6 +114,7 @@ def compact_groups(spark: SparkSession, workdir: str) -> DataFrame:
     """The merged distinct-triple aggregate over every ingested delta —
     identical (row set and cnt) to extract_triple_groups over the whole
     corpus in one batch (monoid merge; equality pytest-asserted)."""
+    _recover_store(workdir)
     delta = os.path.join(workdir, "delta")
     if not os.path.isdir(delta) or not any(
             e.startswith("batch=") for e in os.listdir(delta)):
@@ -91,10 +128,13 @@ def compact_to_base(spark: SparkSession, workdir: str) -> int:
     """Rewrite the delta store as ONE merged base partition (`batch=-1`,
     partition-style so Spark's partition discovery stays consistent with
     later batch deltas), bounding store growth: the merged aggregate is
-    written to a staging directory (never in place), published by an
-    atomic rename of the `delta` root, and only then is the old store
-    dropped — a crash before the publish leaves the old store intact, a
-    crash after leaves a fully-published one. Deltas drained AFTER the
+    written to a staging directory (never in place), then published by
+    two renames (delta->old, staged->delta). No single rename is a true
+    atomic swap, so every store entry point first runs _recover_store,
+    which rolls a publish interrupted between the renames FORWARD (the
+    staged store is complete by then) — a crash anywhere leaves either
+    the old store or the fully-compacted one, never an empty path.
+    Deltas drained AFTER the
     rewrite keep merging on top (the base folds into compact_groups'
     groupBy-sum like any other partition). Returns the number of
     partitions folded.
@@ -112,16 +152,17 @@ def compact_to_base(spark: SparkSession, workdir: str) -> int:
     like re-reading any dropped-and-rewritten table."""
     import shutil
 
+    _recover_store(workdir)
     delta = os.path.join(workdir, "delta")
     parts = ([e for e in os.listdir(delta) if e.startswith("batch=")]
              if os.path.isdir(delta) else [])
     if not parts:
         return 0
-    staged = os.path.join(workdir, f"_compact_stage_{uuid.uuid4().hex[:8]}")
+    staged = os.path.join(workdir, _STAGE)
     (compact_groups(spark, workdir)
      .write.mode("overwrite")
      .parquet(os.path.join(staged, "batch=-1")))
-    old = os.path.join(workdir, f"_compact_old_{uuid.uuid4().hex[:8]}")
+    old = os.path.join(workdir, _OLD)
     os.rename(delta, old)
     os.rename(staged, delta)
     shutil.rmtree(old)

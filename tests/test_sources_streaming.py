@@ -361,3 +361,73 @@ def test_incremental_compact_to_base(spark, fixture_dir, tmp_path):
     assert any(d != "batch=-1" for d in os.listdir(delta))
     merged = sorted(map(tuple, compact_groups(spark, wd).collect()))
     assert merged == sorted(map(tuple, extract_triple_groups(src).collect()))
+
+def test_compact_publish_crash_recovery(spark, fixture_dir, tmp_path):
+    """Every interruption window of compact_to_base's two-rename publish
+    must recover to the FULL aggregate, never an empty store (round-4
+    review finding: a crash between the renames used to leave no delta
+    root, and later reads silently returned an empty KG while the stream
+    checkpoint said all files were consumed)."""
+    import os
+    import shutil
+
+    from qse_spark.streaming.incremental import (_OLD, _STAGE,
+                                                 compact_groups,
+                                                 compact_to_base,
+                                                 ingest_transcripts)
+
+    src = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    src.coalesce(1).write.parquet(str(in_dir / "day1"))
+    wd = str(tmp_path / "wd")
+    ingest_transcripts(spark, str(in_dir) + "/*", wd, max_files=1)
+    want = sorted(map(tuple, compact_groups(spark, wd).collect()))
+    assert want
+    delta = os.path.join(wd, "delta")
+    staged, old = os.path.join(wd, _STAGE), os.path.join(wd, _OLD)
+
+    def snapshot(tag):
+        dst = str(tmp_path / tag)
+        shutil.copytree(wd, dst)
+        return dst
+
+    # window 1: crash DURING the staged write (delta intact, stale stage)
+    w1 = snapshot("w1")
+    os.makedirs(os.path.join(w1, _STAGE, "batch=-1"))
+    assert sorted(map(tuple, compact_groups(spark, w1).collect())) == want
+    assert not os.path.isdir(os.path.join(w1, _STAGE))
+
+    # run a real compaction on a copy, re-creating each publish state
+    w2 = snapshot("w2")
+    assert compact_to_base(spark, w2) >= 1
+    base = os.path.join(w2, "delta")
+
+    # window 2: crash BETWEEN the renames (delta gone, staged complete)
+    w3 = str(tmp_path / "w3")
+    os.makedirs(w3)
+    shutil.copytree(delta, os.path.join(w3, _OLD))
+    shutil.copytree(base, os.path.join(w3, _STAGE))
+    assert sorted(map(tuple, compact_groups(spark, w3).collect())) == want
+    assert os.listdir(os.path.join(w3, "delta")) == ["batch=-1"]
+
+    # window 2b: staged missing entirely -> roll back to the old store
+    w4 = str(tmp_path / "w4")
+    os.makedirs(w4)
+    shutil.copytree(delta, os.path.join(w4, _OLD))
+    assert sorted(map(tuple, compact_groups(spark, w4).collect())) == want
+
+    # window 3: crash AFTER rename #2, before the old store is dropped
+    w5 = str(tmp_path / "w5")
+    os.makedirs(w5)
+    shutil.copytree(base, os.path.join(w5, "delta"))
+    shutil.copytree(delta, os.path.join(w5, _OLD))
+    assert sorted(map(tuple, compact_groups(spark, w5).collect())) == want
+    assert not os.path.isdir(os.path.join(w5, _OLD))
+
+    # and compact_to_base itself recovers before compacting
+    w6 = str(tmp_path / "w6")
+    os.makedirs(w6)
+    shutil.copytree(delta, os.path.join(w6, _OLD))
+    assert compact_to_base(spark, w6) >= 1
+    assert sorted(map(tuple, compact_groups(spark, w6).collect())) == want
