@@ -95,11 +95,9 @@ def mask_string_bodies(doc: str) -> str:
     return "".join(out)
 
 
-def strip_ttl_comments(doc: str) -> str:
-    """Remove '#'-to-end-of-line comments (structural '#' only: a '#'
-    inside an <IRI> fragment or a "string" body is data, not a comment).
-    Comment text is never fed to the token state machine, so a quote or
-    bracket inside a comment cannot corrupt later statements."""
+def _comment_spans(doc: str) -> list[tuple[int, int]]:
+    """(start, end) spans of '#'-to-end-of-line comments (structural '#'
+    only: a '#' inside an <IRI> fragment or a "string" body is data)."""
     spans, st = [], _TokenState()
     i, n = 0, len(doc)
     while i < n:
@@ -111,6 +109,31 @@ def strip_ttl_comments(doc: str) -> str:
             i = j
             continue
         i += 1
+    return spans
+
+
+def _blank_spans(doc: str, spans: list[tuple[int, int]]) -> str:
+    """Same-LENGTH copy of doc with the spans blanked to spaces (newlines
+    kept) — the index-preserving twin of span excision, so positions found
+    on the blanked text map 1:1 onto the original. Blanked comment text is
+    never fed to the token state machine, so a quote or bracket inside a
+    comment cannot corrupt later statements, exactly like excision."""
+    if not spans:
+        return doc
+    out = list(doc)
+    for a, b in spans:
+        for i in range(a, b):
+            if out[i] != "\n":
+                out[i] = " "
+    return "".join(out)
+
+
+def strip_ttl_comments(doc: str) -> str:
+    """Remove '#'-to-end-of-line comments (structural '#' only: a '#'
+    inside an <IRI> fragment or a "string" body is data, not a comment).
+    Comment text is never fed to the token state machine, so a quote or
+    bracket inside a comment cannot corrupt later statements."""
+    spans = _comment_spans(doc)
     if not spans:
         return doc
     out, prev = [], 0
@@ -122,36 +145,28 @@ def strip_ttl_comments(doc: str) -> str:
 
 
 # SPARQL-style declarations are self-delimiting (no '.' terminator), so the
-# statement splitter must excise them or they glue onto the next statement
+# statement splitter must blank them or they glue onto the next statement
 # and silently swallow it. Spans are located on the STRING-MASKED text (a
-# literal spanning a whole line can never match) and spliced out of the
-# real text (same length, indices map 1:1).
+# literal spanning a whole line can never match) and blanked in the real
+# text (same length, indices map 1:1).
 _SPARQL_DECL = re.compile(
     r"(?mi)^[ \t]*(?:PREFIX[ \t]+(?:[A-Za-z][\w.-]*)?:[ \t]*<[^>]*>"
     r"|BASE[ \t]+<[^>]*>)[ \t]*\r?$")
 
 
-def _strip_sparql_decls(doc: str) -> str:
-    masked = mask_string_bodies(doc)
-    spans = [m.span() for m in _SPARQL_DECL.finditer(masked)]
-    if not spans:
-        return doc
-    out, prev = [], 0
-    for a, b in spans:
-        out.append(doc[prev:a])
-        prev = b
-    out.append(doc[prev:])
-    return "".join(out)
-
-
-def ttl_statements(doc: str) -> list[str]:
-    """Split a Turtle document into top-level statements: a '.' terminates
-    a statement only at bracket depth 0, outside <IRI> and "string" tokens,
-    and when followed by whitespace/EOF (so decimals never split).
-    '#' comments are stripped first (string-aware), so comments adjacent
-    to statements never glue onto or split them; dot-less SPARQL-style
-    PREFIX/BASE declaration lines are excised for the same reason."""
-    doc = _strip_sparql_decls(strip_ttl_comments(doc))
+def ttl_statements_pos(doc: str) -> list[tuple[int, str]]:
+    """Split a Turtle document into top-level (start_offset, statement)
+    pairs: a '.' terminates a statement only at bracket depth 0, outside
+    <IRI> and "string" tokens, and when followed by whitespace/EOF (so
+    decimals never split). '#' comments and dot-less SPARQL-style
+    PREFIX/BASE declaration lines are BLANKED first (same-length,
+    string-aware) rather than excised, so comments adjacent to statements
+    never glue onto or split them AND every offset indexes the original
+    document — the coordinate system ttl_prefix_decls shares, which is
+    what lets parse_turtle_doc scope prefix re-declarations correctly."""
+    doc = _blank_spans(doc, _comment_spans(doc))
+    doc = _blank_spans(doc, [m.span() for m in
+                             _SPARQL_DECL.finditer(mask_string_bodies(doc))])
     out, start, depth = [], 0, 0
     st = _TokenState()
     for i, ch in enumerate(doc):
@@ -163,28 +178,54 @@ def ttl_statements(doc: str) -> list[str]:
             depth -= 1
         elif (ch == "." and depth == 0
               and (i + 1 == len(doc) or doc[i + 1].isspace())):
-            stmt = doc[start:i].strip()
+            seg = doc[start:i]
+            stmt = seg.strip()
             if stmt:
-                out.append(stmt)
+                # offset of the statement's FIRST character: leading
+                # whitespace (and blanked declarations) in the segment
+                # must not pull the offset before a preceding @prefix
+                out.append((start + len(seg) - len(seg.lstrip()), stmt))
             start = i + 1
-    tail = doc[start:].strip()
+    seg = doc[start:]
+    tail = seg.strip()
     if tail:
-        out.append(tail)
+        out.append((start + len(seg) - len(seg.lstrip()), tail))
     return out
 
 
+def ttl_statements(doc: str) -> list[str]:
+    """Top-level Turtle statements (see ttl_statements_pos)."""
+    return [s for _, s in ttl_statements_pos(doc)]
+
+
+_PREFIX_DECL = re.compile(
+    r"(?:@prefix|PREFIX)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>")
+
+
+def ttl_prefix_decls(doc: str) -> list[tuple[int, str, str]]:
+    """Position-ordered (offset, prefix, base IRI) for every @prefix /
+    SPARQL-style PREFIX declaration ('' for the default prefix). Offsets
+    index the original document (comments are BLANKED, not excised) and
+    the match text is string-MASKED first, so neither a commented-out
+    declaration nor one quoted inside a corpus-controlled literal ever
+    registers (literal text forging or overriding a namespace binding was
+    a round-4 review finding). Turtle prefix scoping is sequential —
+    parse_turtle_doc applies each declaration only to statements that
+    START after it, so a re-declared prefix never retroactively rewrites
+    earlier statements' IRIs (round-4 review finding)."""
+    masked = mask_string_bodies(_blank_spans(doc, _comment_spans(doc)))
+    return [(m.start(), m.group(1) or "", m.group(2))
+            for m in _PREFIX_DECL.finditer(masked)]
+
+
 def ttl_prefixes(doc: str) -> dict[str, str]:
-    """@prefix / SPARQL-style PREFIX declarations -> {prefix: base IRI}
-    ('' key for the default prefix). Comment-stripped AND string-masked
-    first, so neither a commented-out declaration nor one quoted inside a
-    corpus-controlled literal ever registers (literal text forging or
-    overriding a namespace binding was a round-4 review finding). Shared
-    with shapes._parse_ttl_shape_doc so the data path and the
-    shapes-parity path can never drift on prefix resolution."""
-    return {
-        (p or ""): iri for p, iri in
-        re.findall(r"(?:@prefix|PREFIX)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>",
-                   mask_string_bodies(strip_ttl_comments(doc)))}
+    """Document-FINAL {prefix: base IRI} map (last declaration wins).
+    Right for single-declaration documents — every reference artifact and
+    everything our own writers emit; documents that re-declare a prefix
+    need the position-aware ttl_prefix_decls (which parse_turtle_doc
+    uses). Shared with shapes._parse_ttl_shape_doc so the data path and
+    the shapes-parity path can never drift on prefix resolution."""
+    return {p: iri for _, p, iri in ttl_prefix_decls(doc)}
 
 
 def ttl_base(doc: str) -> str | None:
@@ -241,8 +282,13 @@ def _unescape(s: str) -> str:
 
 def parse_turtle_doc(doc: str) -> tuple[list[tuple], int]:
     """One Turtle document -> ([(subject, predicate, object, obj_kind)],
-    skipped_object_count). Pure function (unit-testable without Spark)."""
-    prefixes = ttl_prefixes(doc)
+    skipped_object_count). Pure function (unit-testable without Spark).
+    Prefix bindings are applied SEQUENTIALLY (Turtle scoping): `prefixes`
+    accumulates declarations as the statement scan passes their offsets,
+    so a re-declaration rebinds only the statements after it."""
+    decls = ttl_prefix_decls(doc)
+    prefixes: dict[str, str] = {}
+    next_decl = 0
     base = ttl_base(doc)
 
     def resolve(tok: str) -> str | None:
@@ -264,7 +310,11 @@ def parse_turtle_doc(doc: str) -> tuple[list[tuple], int]:
         return ns + local if ns is not None else None
 
     rows, skipped = [], 0
-    for stmt in ttl_statements(doc):
+    for pos, stmt in ttl_statements_pos(doc):
+        while next_decl < len(decls) and decls[next_decl][0] <= pos:
+            _, p, iri = decls[next_decl]
+            prefixes[p] = iri
+            next_decl += 1
         if stmt.startswith(("@prefix", "@base", "PREFIX", "BASE")):
             continue
         parts = stmt.split(None, 1)

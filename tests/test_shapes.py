@@ -338,6 +338,37 @@ ex:a ex:lit "a # not comment" .
     assert rows2 == [] and skipped2 == 1
 
 
+def test_parse_turtle_doc_sequential_prefix_scoping():
+    """Turtle prefix scoping is sequential: a re-declared prefix rebinds
+    only statements AFTER it (a last-wins map used to retroactively
+    rewrite earlier statements' IRIs — round-4 review finding), and a
+    pname used BEFORE its prefix is declared is skipped+counted, never
+    resolved through a later declaration."""
+    from qse_spark.sources.turtle import parse_turtle_doc, ttl_prefix_decls
+
+    doc = ("@prefix ex: <http://one/> .\n"
+           "ex:a ex:p ex:b .\n"
+           "PREFIX ex: <http://two/>\n"
+           'ex:c ex:p "decoy @prefix ex: <http://lit/> ." .\n'
+           "@prefix : <http://d1/> .\n:x :q :y .\n"
+           "@prefix : <http://d2/> .\n:x :q :y .\n")
+    rows, skipped = parse_turtle_doc(doc)
+    assert skipped == 0
+    assert rows[0] == ("http://one/a", "http://one/p", "http://one/b", "iri")
+    assert rows[1][:2] == ("http://two/c", "http://two/p")
+    assert rows[2][0] == "http://d1/x" and rows[3][0] == "http://d2/x"
+    # the decl list is position-ordered and literal decoys never register
+    assert [(p, iri) for _, p, iri in ttl_prefix_decls(doc)] == [
+        ("ex", "http://one/"), ("ex", "http://two/"),
+        ("", "http://d1/"), ("", "http://d2/")]
+
+    early, skipped_early = parse_turtle_doc(
+        "ex:a ex:p ex:b .\n@prefix ex: <http://late/> .\nex:c ex:p ex:d .\n")
+    assert skipped_early == 1
+    assert early == [("http://late/c", "http://late/p",
+                      "http://late/d", "iri")]
+
+
 def test_parse_ttl_shape_doc_quoted_brackets_and_comments():
     """Review finding (round 4): the inline blank-node close scan is
     string-aware — a ']' inside a quoted literal (sh:message) never
