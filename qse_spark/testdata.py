@@ -419,7 +419,13 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
         gct["object"].append(o); gct["obj_kind"].append(kind)
         gct["cnt"].append(c)
 
-    out_dir = out_dir or os.path.join(FIXTURE_ROOT, f"seed{seed}_n{n_turns}")
+    # the default path carries the SAME vocab tag ensure_fixture uses:
+    # a direct generate(vocab_mult>1) call must never overwrite the
+    # vocab_mult=1 fixture directory (round-4 review finding — that both
+    # corrupts open readers and churns every input-fingerprint-keyed
+    # pipeline checkpoint when the v1 world is regenerated)
+    out_dir = out_dir or os.path.join(FIXTURE_ROOT, _fixture_tag(
+        seed, n_turns, max(1, int(vocab_mult))))  # NB: not the shadowed m
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(pa.table({
         "conv_id": pa.array(conv_ids, pa.string()),
@@ -464,12 +470,18 @@ def generate(seed: int = 42, n_turns: int = 2000, out_dir: str | None = None,
     return out_dir
 
 
+def _fixture_tag(seed: int, n_turns: int, vocab_mult: int) -> str:
+    """One naming scheme for fixture directories, shared by generate's
+    default out_dir and ensure_fixture so the two can never collide."""
+    return f"seed{seed}_n{n_turns}" + \
+        (f"_v{vocab_mult}" if vocab_mult > 1 else "")
+
+
 def ensure_fixture(seed: int = 42, n_turns: int = 2000,
                    vocab_mult: int = 1) -> str:
     """Generate-if-missing; safe to call from tests, entry() and bench."""
-    tag = f"seed{seed}_n{n_turns}" + \
-        (f"_v{vocab_mult}" if vocab_mult > 1 else "")
-    out_dir = os.path.join(FIXTURE_ROOT, tag)
+    out_dir = os.path.join(FIXTURE_ROOT, _fixture_tag(seed, n_turns,
+                                                      vocab_mult))
     meta = os.path.join(out_dir, "meta.json")
     want = 4 if vocab_mult <= 1 else 5
     if os.path.exists(meta):
