@@ -71,15 +71,16 @@ _SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}   # not DHT/JPG/DAC
 
 
-def _parse_jpeg(p: bytes):
-    """(width, height) from the first SOFn frame header, or None if not a
-    JPEG. Marker walk per the public JPEG/JFIF spec: after SOI (FFD8),
-    each segment is FF + marker + 2-byte BE length that includes itself;
-    SOF0..SOF15 (minus DHT/JPG/DAC) carry precision(1) height(2) width(2).
-    Standalone markers (TEM, RSTn) and fill FFs are skipped; reaching
-    SOS/EOI without a SOF, a desynced byte, or zero dimensions (spec
-    allows height 0 only with a later DNL — treated as corrupt) returns
-    None, matching the lying-header posture of _parse_png/_parse_wav."""
+def _find_jpeg_sof(p: bytes) -> int | None:
+    """Byte offset of the first SOFn marker (the 0xFF byte) with its
+    frame header fully in bounds, or None if not a JPEG. THE one marker
+    walk, per the public JPEG/JFIF spec (shared by _parse_jpeg and
+    resize_media's header surgery so the two can never locate the SOF
+    differently — round-4 review finding): after SOI (FFD8), each
+    segment is FF + marker + 2-byte BE length that includes itself;
+    SOF0..SOF15 (minus DHT/JPG/DAC) carry precision(1) height(2)
+    width(2). Standalone markers (TEM, RSTn) and fill FFs are skipped;
+    reaching SOS/EOI without a SOF or a desynced byte returns None."""
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -99,12 +100,21 @@ def _parse_jpeg(p: bytes):
         if size < 2:
             return None
         if marker in _SOF_MARKERS:
-            if size < 7 or pos + 9 > len(p):
-                return None
-            h, w = struct.unpack(">HH", p[pos + 5:pos + 9])
-            return (w, h) if 0 < w and 0 < h else None
+            return pos if size >= 7 and pos + 9 <= len(p) else None
         pos += 2 + size
     return None
+
+
+def _parse_jpeg(p: bytes):
+    """(width, height) from the first SOFn frame header (via
+    _find_jpeg_sof), or None if not a JPEG. Zero dimensions (spec allows
+    height 0 only with a later DNL — treated as corrupt) return None,
+    matching the lying-header posture of _parse_png/_parse_wav."""
+    pos = _find_jpeg_sof(p)
+    if pos is None:
+        return None
+    h, w = struct.unpack(">HH", p[pos + 5:pos + 9])
+    return (w, h) if 0 < w and 0 < h else None
 
 
 def _parse_wav(p: bytes):
@@ -334,31 +344,6 @@ def _resize_png(p: bytes, w: int, h: int) -> bytes:
     crc = zlib.crc32(out[12:16] + out[16:29])
     out[29:33] = struct.pack(">I", crc)
     return bytes(out)
-
-
-def _find_jpeg_sof(p: bytes) -> int | None:
-    """Byte offset of the first SOFn marker (the 0xFF byte), or None —
-    same marker walk as _parse_jpeg, returning position instead of dims."""
-    pos = 2
-    while pos + 4 <= len(p):
-        if p[pos] != 0xFF:
-            return None
-        marker = p[pos + 1]
-        if marker == 0xFF:
-            pos += 1
-            continue
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        if marker in (0xD9, 0xDA):
-            return None
-        (size,) = struct.unpack(">H", p[pos + 2:pos + 4])
-        if size < 2:
-            return None
-        if marker in _SOF_MARKERS:
-            return pos if size >= 7 and pos + 9 <= len(p) else None
-        pos += 2 + size
-    return None
 
 
 def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
