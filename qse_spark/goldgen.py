@@ -395,77 +395,85 @@ def gold_mm_features(docs: list[tuple[int, str]]) -> pa.Table:
     })
 
 
-def gold_mm_real(doc_ids: list[int]) -> pa.Table:
-    """Twin of decode_media(fake=False) over synth_media payloads: every
-    decoded feature is predicted straight from the synth formula (even id
-    -> PNG of 16+i%512 x 16+7i%512, i%4==3 -> JPEG of 16+3i%512 x
-    16+5i%512, i%4==1 -> WAV of 1+i%2 channels at 8000+(i%5)*1000 Hz with
-    100+i%400 frames, i%8==5 -> AVI video of 16+9i%512 x 16+11i%512 with
-    10+i%240 frames) — no parsing, so a header mis-parse on the Spark
-    side cannot be mirrored here. Byte counts / CRCs come from an
-    independent re-synthesis of the same byte spec."""
+def _synth_record(i: int, fit=None) -> tuple:
+    """One row of the synth_media byte spec, re-synthesized independently
+    of multimodal.py: (kind, format, body, width, height, channels,
+    sample_rate, n_frames) for media_id i — even id -> PNG of 16+i%512 x
+    16+7i%512, i%4==3 -> JPEG of 16+3i%512 x 16+5i%512 (SOF2 when
+    i%8==7), i%8==5 -> AVI video of 16+9i%512 x 16+11i%512 with 10+i%240
+    frames, else WAV of 1+i%2 channels at 8000+(i%5)*1000 Hz with
+    100+i%400 frames. `fit(w, h) -> (w, h)` mirrors resize_media's
+    header surgery on the IMAGE formats only: PNG bodies carry the
+    fitted dims plus a REAL IHDR CRC when the dims changed (surgery
+    recomputes it; untouched synth headers ship a zero CRC), JPEG bodies
+    carry them in the SOF frame header; AVI/WAV ignore `fit` (resize is
+    image-only, byte-identical pass). The ONE byte spec shared by
+    gold_mm_real and gold_mm_resize_decoded — independence is required
+    between goldgen and multimodal.py, not between the two golds."""
+    fit = fit or (lambda wi, hi: (wi, hi))
+    if i % 2 == 0:
+        wi, hi = 16 + i % 512, 16 + (i * 7) % 512
+        nw, nh = fit(wi, hi)
+        png_sig = bytes([0x89]) + b"PNG" + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+        ihdr_data = (nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
+                     + bytes([8, 6, 0, 0, 0]))
+        ihdr_crc = (zlib.crc32(b"IHDR" + ihdr_data).to_bytes(4, "big")
+                    if (nw, nh) != (wi, hi) else bytes(4))
+        body = (png_sig + (13).to_bytes(4, "big") + b"IHDR"
+                + ihdr_data + ihdr_crc
+                + (0).to_bytes(4, "big") + b"IEND" + bytes(4))
+        return ("image", "png", body, nw, nh, None, None, 1)
+    if i % 4 == 3:
+        wi, hi = 16 + (i * 3) % 512, 16 + (i * 5) % 512
+        nw, nh = fit(wi, hi)
+        sof = 0xC2 if i % 8 == 7 else 0xC0
+        body = (bytes([0xFF, 0xD8, 0xFF, 0xE0]) + (16).to_bytes(2, "big")
+                + b"JFIF" + bytes([0, 1, 1, 0])
+                + (1).to_bytes(2, "big") + (1).to_bytes(2, "big")
+                + bytes([0, 0])
+                + bytes([0xFF, sof]) + (17).to_bytes(2, "big")
+                + bytes([8]) + nh.to_bytes(2, "big") + nw.to_bytes(2, "big")
+                + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+                + bytes([0xFF, 0xD9]))
+        return ("image", "jpeg", body, nw, nh, None, None, 1)
+    if i % 8 == 5:
+        wi, hi = 16 + (i * 9) % 512, 16 + (i * 11) % 512
+        frames = 10 + i % 240
+        avih = (b"".join(v.to_bytes(4, "little") for v in
+                         (33367, 0, 0, 0, frames, 0, 1, 0, wi, hi))
+                + bytes(16))
+        hdrl = b"hdrl" + b"avih" + (56).to_bytes(4, "little") + avih
+        body = (b"RIFF" + (4 + 8 + len(hdrl) + 12).to_bytes(4, "little")
+                + b"AVI " + b"LIST"
+                + len(hdrl).to_bytes(4, "little") + hdrl
+                + b"LIST" + (4).to_bytes(4, "little") + b"movi")
+        return ("video", "avi", body, wi, hi, None, None, frames)
+    c = 1 + i % 2
+    rate = 8000 + (i % 5) * 1000
+    frames = 100 + i % 400
+    align = c * 2
+    body = (b"RIFF" + (36 + frames * align).to_bytes(4, "little")
+            + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + c.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * align).to_bytes(4, "little")
+            + align.to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+            + b"data" + (frames * align).to_bytes(4, "little")
+            + bytes(frames * align))
+    return ("audio", "wav", body, None, None, c, rate, frames)
+
+
+def _mm_decoded_table(doc_ids: list[int], fit=None) -> pa.Table:
+    """Assemble the decode_media feature table from _synth_record rows."""
     mid, kind, fmt, nb, crc = [], [], [], [], []
     w, h, ch, sr, nf = [], [], [], [], []
-    png_sig = bytes([0x89]) + b"PNG" + bytes([0x0D, 0x0A, 0x1A, 0x0A])
     for i in sorted(doc_ids):
-        mid.append(i)
-        if i % 2 == 0:
-            wi, hi = 16 + i % 512, 16 + (i * 7) % 512
-            body = (png_sig + (13).to_bytes(4, "big") + b"IHDR"
-                    + wi.to_bytes(4, "big") + hi.to_bytes(4, "big")
-                    + bytes([8, 6, 0, 0, 0]) + bytes(4)
-                    + (0).to_bytes(4, "big") + b"IEND" + bytes(4))
-            kind.append("image"); fmt.append("png")
-            w.append(wi); h.append(hi)
-            ch.append(None); sr.append(None); nf.append(1)
-        elif i % 4 == 3:
-            wi, hi = 16 + (i * 3) % 512, 16 + (i * 5) % 512
-            sof = 0xC2 if i % 8 == 7 else 0xC0
-            body = (bytes([0xFF, 0xD8, 0xFF, 0xE0]) + (16).to_bytes(2, "big")
-                    + b"JFIF" + bytes([0, 1, 1, 0])
-                    + (1).to_bytes(2, "big") + (1).to_bytes(2, "big")
-                    + bytes([0, 0])
-                    + bytes([0xFF, sof]) + (17).to_bytes(2, "big")
-                    + bytes([8]) + hi.to_bytes(2, "big")
-                    + wi.to_bytes(2, "big")
-                    + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
-                    + bytes([0xFF, 0xD9]))
-            kind.append("image"); fmt.append("jpeg")
-            w.append(wi); h.append(hi)
-            ch.append(None); sr.append(None); nf.append(1)
-        elif i % 8 == 5:
-            wi, hi = 16 + (i * 9) % 512, 16 + (i * 11) % 512
-            frames = 10 + i % 240
-            avih = (b"".join(v.to_bytes(4, "little") for v in
-                             (33367, 0, 0, 0, frames, 0, 1, 0, wi, hi))
-                    + bytes(16))
-            hdrl = b"hdrl" + b"avih" + (56).to_bytes(4, "little") + avih
-            body = (b"RIFF" + (4 + 8 + len(hdrl) + 12).to_bytes(4, "little")
-                    + b"AVI " + b"LIST"
-                    + len(hdrl).to_bytes(4, "little") + hdrl
-                    + b"LIST" + (4).to_bytes(4, "little") + b"movi")
-            kind.append("video"); fmt.append("avi")
-            w.append(wi); h.append(hi)
-            ch.append(None); sr.append(None); nf.append(frames)
-        else:
-            c = 1 + i % 2
-            rate = 8000 + (i % 5) * 1000
-            frames = 100 + i % 400
-            align = c * 2
-            body = (b"RIFF" + (36 + frames * align).to_bytes(4, "little")
-                    + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
-                    + (1).to_bytes(2, "little") + c.to_bytes(2, "little")
-                    + rate.to_bytes(4, "little")
-                    + (rate * align).to_bytes(4, "little")
-                    + align.to_bytes(2, "little")
-                    + (16).to_bytes(2, "little")
-                    + b"data" + (frames * align).to_bytes(4, "little")
-                    + bytes(frames * align))
-            kind.append("audio"); fmt.append("wav")
-            w.append(None); h.append(None)
-            ch.append(c); sr.append(rate); nf.append(frames)
-        nb.append(len(body))
-        crc.append(zlib.crc32(body))
+        kd, fm, body, wi, hi, c, rate, frames = _synth_record(i, fit)
+        mid.append(i); kind.append(kd); fmt.append(fm)
+        nb.append(len(body)); crc.append(zlib.crc32(body))
+        w.append(wi); h.append(hi)
+        ch.append(c); sr.append(rate); nf.append(frames)
     return pa.table({
         "media_id": pa.array(mid, pa.int64()),
         "kind": pa.array(kind, pa.string()),
@@ -478,6 +486,15 @@ def gold_mm_real(doc_ids: list[int]) -> pa.Table:
         "sample_rate": pa.array(sr, pa.int32()),
         "n_frames": pa.array(nf, pa.int32()),
     })
+
+
+def gold_mm_real(doc_ids: list[int]) -> pa.Table:
+    """Twin of decode_media(fake=False) over synth_media payloads: every
+    decoded feature is predicted straight from the synth formula (see
+    _synth_record) — no parsing, so a header mis-parse on the Spark side
+    cannot be mirrored here. Byte counts / CRCs come from an independent
+    re-synthesis of the same byte spec."""
+    return _mm_decoded_table(doc_ids)
 
 
 def gold_mm_resize_decoded(doc_ids: list[int],
@@ -489,95 +506,15 @@ def gold_mm_resize_decoded(doc_ids: list[int],
     (w*max_side//m, h*max_side//m) clamped to >= 1. Resized PNG bytes are
     re-synthesized with the new dims and a REAL IHDR CRC (surgery
     recomputes it); resized JPEG bytes carry the new dims in the SOF
-    frame header; WAV and within-box images are byte-identical to
+    frame header; WAV/AVI and within-box images are byte-identical to
     gold_mm_real's bodies."""
-    mid, kind, fmt, nb, crc = [], [], [], [], []
-    w, h, ch, sr, nf = [], [], [], [], []
-    png_sig = bytes([0x89]) + b"PNG" + bytes([0x0D, 0x0A, 0x1A, 0x0A])
-
     def _fit(wi, hi):
         m = max(wi, hi)
         if m <= max_side:
             return wi, hi
         return max(1, wi * max_side // m), max(1, hi * max_side // m)
 
-    for i in sorted(doc_ids):
-        mid.append(i)
-        if i % 2 == 0:
-            wi, hi = 16 + i % 512, 16 + (i * 7) % 512
-            nw, nh = _fit(wi, hi)
-            ihdr_data = (nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
-                         + bytes([8, 6, 0, 0, 0]))
-            ihdr_crc = (zlib.crc32(b"IHDR" + ihdr_data).to_bytes(4, "big")
-                        if (nw, nh) != (wi, hi) else bytes(4))
-            body = (png_sig + (13).to_bytes(4, "big") + b"IHDR"
-                    + ihdr_data + ihdr_crc
-                    + (0).to_bytes(4, "big") + b"IEND" + bytes(4))
-            kind.append("image"); fmt.append("png")
-            w.append(nw); h.append(nh)
-            ch.append(None); sr.append(None); nf.append(1)
-        elif i % 4 == 3:
-            wi, hi = 16 + (i * 3) % 512, 16 + (i * 5) % 512
-            nw, nh = _fit(wi, hi)
-            sof = 0xC2 if i % 8 == 7 else 0xC0
-            body = (bytes([0xFF, 0xD8, 0xFF, 0xE0]) + (16).to_bytes(2, "big")
-                    + b"JFIF" + bytes([0, 1, 1, 0])
-                    + (1).to_bytes(2, "big") + (1).to_bytes(2, "big")
-                    + bytes([0, 0])
-                    + bytes([0xFF, sof]) + (17).to_bytes(2, "big")
-                    + bytes([8]) + nh.to_bytes(2, "big")
-                    + nw.to_bytes(2, "big")
-                    + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
-                    + bytes([0xFF, 0xD9]))
-            kind.append("image"); fmt.append("jpeg")
-            w.append(nw); h.append(nh)
-            ch.append(None); sr.append(None); nf.append(1)
-        elif i % 8 == 5:
-            # AVI video: resize_media is image-only, byte-identical pass
-            wi, hi = 16 + (i * 9) % 512, 16 + (i * 11) % 512
-            frames = 10 + i % 240
-            avih = (b"".join(v.to_bytes(4, "little") for v in
-                             (33367, 0, 0, 0, frames, 0, 1, 0, wi, hi))
-                    + bytes(16))
-            hdrl = b"hdrl" + b"avih" + (56).to_bytes(4, "little") + avih
-            body = (b"RIFF" + (4 + 8 + len(hdrl) + 12).to_bytes(4, "little")
-                    + b"AVI " + b"LIST"
-                    + len(hdrl).to_bytes(4, "little") + hdrl
-                    + b"LIST" + (4).to_bytes(4, "little") + b"movi")
-            kind.append("video"); fmt.append("avi")
-            w.append(wi); h.append(hi)
-            ch.append(None); sr.append(None); nf.append(frames)
-        else:
-            c = 1 + i % 2
-            rate = 8000 + (i % 5) * 1000
-            frames = 100 + i % 400
-            align = c * 2
-            body = (b"RIFF" + (36 + frames * align).to_bytes(4, "little")
-                    + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
-                    + (1).to_bytes(2, "little") + c.to_bytes(2, "little")
-                    + rate.to_bytes(4, "little")
-                    + (rate * align).to_bytes(4, "little")
-                    + align.to_bytes(2, "little")
-                    + (16).to_bytes(2, "little")
-                    + b"data" + (frames * align).to_bytes(4, "little")
-                    + bytes(frames * align))
-            kind.append("audio"); fmt.append("wav")
-            w.append(None); h.append(None)
-            ch.append(c); sr.append(rate); nf.append(frames)
-        nb.append(len(body))
-        crc.append(zlib.crc32(body))
-    return pa.table({
-        "media_id": pa.array(mid, pa.int64()),
-        "kind": pa.array(kind, pa.string()),
-        "format": pa.array(fmt, pa.string()),
-        "n_bytes": pa.array(nb, pa.int32()),
-        "crc32": pa.array(crc, pa.int64()),
-        "width": pa.array(w, pa.int32()),
-        "height": pa.array(h, pa.int32()),
-        "channels": pa.array(ch, pa.int32()),
-        "sample_rate": pa.array(sr, pa.int32()),
-        "n_frames": pa.array(nf, pa.int32()),
-    })
+    return _mm_decoded_table(doc_ids, _fit)
 
 
 def gold_mm_frames(features: pa.Table, every_n: int = 8) -> pa.Table:
