@@ -145,16 +145,41 @@ def prune_sampled(stats: DataFrame, confidence: float, support: int) -> DataFram
     return stats.filter(kept_sampled(confidence, support))
 
 
+def negative_sampled(confidence: float, support: int):
+    """QSE-Approximate sh:not complement predicate
+    (`ShapesExtractor.java:386-412`, negativePruning): when sampling is
+    on and S != 1, conf <= C and supp < S * min(sampledPropCount/
+    propCount, sampledClassCount/classCount) — the RELATIVE complement
+    rule, mirroring kept_sampled exactly as the reference's negative
+    branch mirrors its positive one (a round-4 review finding: the sink
+    used the absolute rule for sampled sh:not output). S == 1 stays
+    absolute (supp < 1 keeps nothing observed, as in the reference)."""
+    if support == 1:
+        return (F.col("confidence") <= confidence) & (F.col("support") < 1)
+    ratio = F.least(
+        F.coalesce(F.col("sampled_prop_count") / F.col("prop_count"),
+                   F.lit(1.0)),
+        F.col("sampled_class_count") / F.col("class_count"))
+    return ((F.col("confidence") <= confidence)
+            & (F.col("support") < F.lit(support) * ratio))
+
+
 def bernoulli_sample_entities(entity_types: DataFrame, pct: float,
                               seed: int = 100) -> DataFrame:
     """A4 random %-sampling (`RandomSamplingParser.java:42-83`): Bernoulli on
     the ENTITY (consistent across its classes), seeded md5, no shuffle.
 
     Rule: keep iff the first two hex chars of md5(entity || '#seed') are
-    lexicographically below ceil(pct*256/100) in hex — hex strings order
+    lexicographically below round(pct*256/100) in hex — hex strings order
     numerically, so the rate is round(pct*256/100)/256 (within 0.4% of pct)
-    and the rule is reproducible verbatim in any SQL engine."""
-    threshold = f"{int(round(pct * 256 / 100)):02x}"
+    and the rule is reproducible verbatim in any SQL engine. Buckets >=
+    256 mean keep-everything and short-circuit: formatting 256 as hex
+    ('100', three chars) would otherwise turn the 2-char comparison
+    lexicographic-wrong and keep only ~6.6% at pct=100 (review finding)."""
+    buckets = int(round(pct * 256 / 100))
+    if buckets >= 256:
+        return entity_types.select("entity", "class")
+    threshold = f"{buckets:02x}"
     key = F.substring(F.md5(F.concat(F.col("entity"), F.lit(f"#{seed}"))),
                       1, 2)
     return (entity_types.filter(key < F.lit(threshold))

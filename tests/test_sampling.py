@@ -66,6 +66,13 @@ def test_bernoulli_rate_and_consistency(spark, fixture_dir):
                .join(et.groupBy("entity").count()
                      .withColumnRenamed("count", "total"), "entity"))
     assert per_ent.filter("count <> total").count() == 0
+    # pct=100 keeps EVERYTHING (review finding: the 256-bucket threshold
+    # used to format as 3-char '100' and the 2-char hex comparison went
+    # lexicographic-wrong, silently keeping ~6.6%); pct=99.9 also lands
+    # in the keep-all bucket and pct=0 keeps nothing
+    assert bernoulli_sample_entities(et, pct=100).count() == et.count()
+    assert bernoulli_sample_entities(et, pct=99.9).count() == et.count()
+    assert bernoulli_sample_entities(et, pct=0).count() == 0
 
 
 def test_approx_stats_invariants_and_convergence(spark, fixture_dir):
@@ -115,3 +122,30 @@ def test_approx_vs_exact_shape_pr(spark, fixture_dir):
     assert approx_ps <= exact_ps                      # PS precision 1.00
     recall = len(approx_ps & exact_ps) / len(exact_ps)
     assert recall >= 0.9, recall
+
+
+def test_negative_sampled_relative_rule(spark):
+    """negativePruning (ShapesExtractor.java:400-404) applies the SAME
+    relative-support scaling as the positive side when sampling is on:
+    support < S * min(sampledPropCount/propCount, sampledClassCount/
+    classCount). A branch with support 50 under S=100 and a 10% sample
+    (relative threshold 10) is NOT negative — the absolute rule
+    wrongly flagged it (review finding)."""
+    from qse_spark.operators.sampling import negative_sampled
+
+    rows = [
+        # support 50 >= relative 10 -> kept out of the complement
+        ("A", "p", "T", 50, 0.2, 1000, 100, 5000, 500),
+        # support 5 < relative 10 -> negative
+        ("A", "q", "T", 5, 0.2, 1000, 100, 5000, 500),
+        # conf above C -> never negative regardless of support
+        ("A", "r", "T", 5, 0.9, 1000, 100, 5000, 500),
+    ]
+    cols = ["class", "property", "obj_type", "support", "confidence",
+            "prop_count", "sampled_prop_count",
+            "class_count", "sampled_class_count"]
+    df = spark.createDataFrame(rows, cols)
+    neg = df.filter(negative_sampled(0.5, 100))
+    assert [r["property"] for r in neg.collect()] == ["q"]
+    # S == 1 stays absolute: support < 1 keeps nothing observed
+    assert df.filter(negative_sampled(0.5, 1)).count() == 0
