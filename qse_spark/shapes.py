@@ -30,6 +30,8 @@ Turtle document, via native Spark ops)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -120,11 +122,21 @@ def ns_support_gate(support: int):
 def kept_stat_rows(stats: DataFrame, confidence: float, support: int,
                    type_predicate: str = TYPE_PREDICATE,
                    sampled: bool = False) -> DataFrame:
-    """The QSE-Pruned row spine: threshold-surviving rows plus the
-    never-pruned instance-type rows, restricted to classes whose node
-    shape survives ns_support_gate. Single source of truth for
-    pruned_shapes (what is emitted), validation_report (what is
-    validated) and the per-grid metric rows (what is measured).
+    """The QSE-Pruned row spine: threshold-surviving rows, restricted to
+    classes whose node shape survives ns_support_gate. Single source of
+    truth for pruned_shapes (what is emitted), validation_report (what
+    is validated) and the per-grid metric rows (what is measured).
+
+    Instance-type rows pass through the SAME threshold as every other
+    branch — the reference's positivePruning runs for the type property
+    too (performPropShapePruningPositive:286-313); what "the type
+    property is never pruned" means there is that the type PROPERTY
+    SHAPE survives with an empty branch set (the pre-put objTypesSet),
+    which pruned_shapes reconstructs explicitly. A failing type branch's
+    support/confidence annotations must NOT appear in the emitted model
+    (review finding; in practice a gate-surviving class's dominant type
+    branch has conf 1.0 and supp == class_count > S, so it always
+    passes — only minority branches of multi-typed classes drop).
 
     sampled=True applies the QSE-Approximate relative-support rule
     (sampling.kept_sampled) instead of the absolute stats.prune — the
@@ -137,11 +149,8 @@ def kept_stat_rows(stats: DataFrame, confidence: float, support: int,
         thresh = stats.filter(kept_sampled(confidence, support))
     else:
         thresh = prune(stats, confidence, support)
-    rows = (thresh
-            .unionByName(stats.filter(F.col("property") == type_predicate))
-            .distinct())
     ns = node_shapes(stats).filter(ns_support_gate(support))
-    return rows.join(
+    return thresh.join(
         F.broadcast(ns.select(F.col("target_class").alias("class"))),
         "class", "left_semi")
 
@@ -151,16 +160,39 @@ def pruned_shapes(stats: DataFrame, confidence: float, support: int,
                   ) -> tuple[DataFrame, DataFrame]:
     """(node_shapes, property_shapes) after QSE-Pruned filtering:
     node shapes gated on ns_support_gate; property rows from
-    kept_stat_rows (threshold-filtered except the instance-type
-    property, which always survives)."""
+    kept_stat_rows. The instance-type PROPERTY SHAPE survives even when
+    every one of its branches fails the threshold (the reference
+    pre-puts an empty objTypesSet for it,
+    performPropShapePruningPositive:296-299, so the PS renders with
+    sh:in and no annotations) — reconstructed here as an explicit
+    empty-constraints row for gate-surviving classes missing a type
+    PS."""
     ns = node_shapes(stats).filter(ns_support_gate(support))
     ps = property_shapes(kept_stat_rows(stats, confidence, support,
                                         type_predicate), type_predicate)
-    return ns, ps
+    missing = ns.join(
+        ps.filter(F.col("path") == type_predicate)
+        .select("target_class"), "target_class", "left_anti")
+    empty_type_ps = missing.select(
+        "target_class", "node_shape",
+        F.concat(F.lit(SHAPES_NAMESPACE), _local(F.lit(type_predicate)),
+                 _local(F.col("target_class")),
+                 F.lit("ShapeProperty")).alias("prop_shape"),
+        F.lit(type_predicate).alias("path"),
+        F.array().cast(
+            "array<struct<obj_type:string,kind:string,"
+            "support:bigint,confidence:double>>").alias("constraints"),
+        F.lit(0).cast("bigint").alias("n_obj_types"),
+        F.lit(None).cast("int").alias("min_count"),
+        F.lit(None).cast("int").alias("max_count"),
+        F.lit(False).alias("uses_or"),
+        "class_count")
+    return ns, ps.unionByName(empty_type_ps)
 
 
 def negative_shapes(stats: DataFrame, confidence: float, support: int,
-                    type_predicate: str = TYPE_PREDICATE) -> DataFrame:
+                    type_predicate: str = TYPE_PREDICATE,
+                    sampled: bool = False) -> DataFrame:
     """S13 back half — sh:not negative-shape records (the complement filter
     rows built into wrapper node shapes, `ShapesExtractor.java:623-1010`,
     activated by `qse_validation_with_shNot`).
@@ -169,11 +201,27 @@ def negative_shapes(stats: DataFrame, confidence: float, support: int,
     shape `<ns><prop><Class>_PS_NotShape` (reference naming, `:822`)
     attached to the class's node shape via sh:not, containing a property
     shape built with the SAME constraint rules as the positive side.
+    Restricted to classes surviving ns_support_gate — the reference
+    builds sh:not wrappers only inside prepareNodeAndPropertyShapes,
+    which buildAndPruneShapes (:240-249) calls only for gate-surviving
+    classes (review finding: ungated rows resurrected pruned classes as
+    implicit node shapes in the emitted TTL, disagreeing with
+    sh_not_report's own gate). sampled=True applies the reference's
+    RELATIVE complement rule (sampling.negative_sampled) as its sampled
+    runs do (negativePruning:400-404).
     (Engine-wide naming note: the reference renames the instance-type
     property to "instanceType" in shape IRIs; this engine consistently uses
     the local name, as the oracle-checked positive shapes already do.)
     """
-    neg = prune_negative(stats, confidence, support)
+    if sampled:
+        from .operators.sampling import negative_sampled
+        neg = stats.filter(negative_sampled(confidence, support))
+    else:
+        neg = prune_negative(stats, confidence, support)
+    ns = node_shapes(stats).filter(ns_support_gate(support))
+    neg = neg.join(
+        F.broadcast(ns.select(F.col("target_class").alias("class"))),
+        "class", "left_semi")
     ps = property_shapes(neg, type_predicate)
     return (ps.withColumn(
         "not_shape",
@@ -402,8 +450,14 @@ _PREFIXES = (
     f"@prefix qse: <{SHAPES_NAMESPACE}> .\n\n")
 
 
+# any URI scheme marks an absolute IRI — '://' alone would mangle
+# authority-less schemes (urn:, mailto:, did:) into the shapes namespace
+# (review finding); same grammar as sources/turtle._ABS_IRI
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
 def _iri(v: str) -> str:
-    return f"<{v}>" if "://" in v else f"<{SHAPES_NAMESPACE}{v}>"
+    return f"<{v}>" if _ABS_IRI.match(v) else f"<{SHAPES_NAMESPACE}{v}>"
 
 
 def _dtype_iri(label: str) -> str:
@@ -425,32 +479,68 @@ def _example_lines(r) -> list[str]:
             for e in str(r["examples"]).split("\x1f")]
 
 
+def _python_kind(obj_type: str) -> str:
+    """Driver-side twin of _constraint_kind's non-type classification,
+    for rendering the type property's or-members."""
+    if obj_type in _LITERALS:
+        return "datatype"
+    if obj_type == UNDEFINED_OBJECT_TYPE:
+        return "nodeKind"
+    return "class"
+
+
+def _annotation(c) -> str:
+    return (f"<{SHAPES_NAMESPACE.rstrip('/')}/support> "
+            f"{int(c['support'])} ; "
+            f"<{SHAPES_NAMESPACE.rstrip('/')}/confidence> "
+            f"{float(c['confidence']):.6f}")
+
+
+def _member_body(c, kind: str) -> str:
+    if kind == "datatype":
+        return (f"sh:datatype {_dtype_iri(c['obj_type'])} ; "
+                f"sh:nodeKind sh:Literal")
+    if kind == "class":
+        return f"sh:class {_iri(c['obj_type'])} ; sh:nodeKind sh:IRI"
+    return "sh:nodeKind sh:IRI"
+
+
 def _prop_block(r) -> str:
     lines = [f"<{r['prop_shape']}> a sh:PropertyShape ;",
              f"  sh:path {_iri(r['path'])} ;"]
-    members = []
-    for c in r["constraints"]:
-        body = []
-        if c["kind"] == "datatype":
-            body.append(f"sh:datatype {_dtype_iri(c['obj_type'])} ; "
-                        f"sh:nodeKind sh:Literal")
-        elif c["kind"] == "class":
-            body.append(f"sh:class {_iri(c['obj_type'])} ; "
-                        f"sh:nodeKind sh:IRI")
-        elif c["kind"] == "in":
-            body.append(f"sh:in ( {_iri(c['obj_type'])} )")
-        else:
-            body.append("sh:nodeKind sh:IRI")
-        body.append(f"<{SHAPES_NAMESPACE.rstrip('/')}/support> "
-                    f"{int(c['support'])} ; "
-                    f"<{SHAPES_NAMESPACE.rstrip('/')}/confidence> "
-                    f"{float(c['confidence']):.6f}")
-        members.append(" ; ".join(body))
-    if len(members) == 1:
-        lines.append(f"  {members[0]} ;")
+    in_cs = [c for c in r["constraints"] if c["kind"] == "in"]
+    if not list(r["constraints"]):
+        # instance-type PS whose every branch failed the threshold
+        # (pruned_shapes' empty-constraints row): sh:in with no
+        # annotations, the reference's empty-objTypesSet rendering
+        lines.append(f"  sh:in ( {_iri(r['target_class'])} ) ;")
+    elif in_cs:
+        # instance-type property (ShapesExtractor.java:451-461): the
+        # sh:in list holds the TARGET CLASS itself — RDFCollections
+        # .asRDF(List.of(subj)) — NOT the branch's obj_type (usually the
+        # undefined sentinel, which no instance's rdf:type value ever
+        # matches; review finding). Each objType branch annotates the
+        # SAME prop shape with its support/confidence pair.
+        lines.append(f"  sh:in ( {_iri(r['target_class'])} ) ;")
+        for c in in_cs:
+            lines.append(f"  {_annotation(c)} ;")
+        if len(in_cs) > 1:
+            # the reference's numberOfObjectTypes>1 branch (:517-570) has
+            # no isInstanceTypeProperty guard, so a multi-objType type
+            # property ALSO gets sh:or members, classified per objType
+            # like any other property
+            ors = " ".join(
+                f"[ {_member_body(c, _python_kind(c['obj_type']))} ; "
+                f"{_annotation(c)} ]" for c in in_cs)
+            lines.append(f"  sh:or ( {ors} ) ;")
     else:
-        ors = " ".join(f"[ {m} ]" for m in members)
-        lines.append(f"  sh:or ( {ors} ) ;")
+        members = [f"{_member_body(c, c['kind'])} ; {_annotation(c)}"
+                   for c in r["constraints"]]
+        if len(members) == 1:
+            lines.append(f"  {members[0]} ;")
+        else:
+            ors = " ".join(f"[ {m} ]" for m in members)
+            lines.append(f"  sh:or ( {ors} ) ;")
     if r["min_count"] is not None:
         lines.append(f"  sh:minCount {int(r['min_count'])} ;")
     if r["max_count"] is not None:

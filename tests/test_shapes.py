@@ -143,12 +143,22 @@ def test_negative_shapes_sh_not(spark, tmp_path):
     """S13 back half: complement rows become sh:not wrapper shapes with the
     reference's _PS_NotShape naming, and they render into the TTL."""
     from qse_spark.shapes import negative_shapes
-    st = _stats(spark)
-    # (A, p, C) has support 2 / conf 1.0; (A, p, xsd:integer) support 1 ->
-    # conf 0.5 -> negative under (0.5, 2)
+    from qse_spark.stats import shape_stats
+    # a third A instance lifts class_count to 3 so A passes the node-shape
+    # gate at S=2 (negative_shapes now applies ns_support_gate, matching
+    # the reference's buildAndPruneShapes — review finding); the original
+    # MICRO world (class_count == 2) is the gate-dropped case below
+    st = shape_stats(spark.createDataFrame(
+        MICRO + [("e3", "rdf:type", "A", "iri")],
+        ["subject", "predicate", "object", "obj_kind"])).cache()
+    # (A, p, xsd:integer): support 1, conf 1/3 -> negative under (0.5, 2)
     neg = negative_shapes(st, confidence=0.5, support=2)
     rows = {(r["target_class"], r["path"]): r for r in neg.collect()}
     assert ("A", "p") in rows
+    # gate-dropped: without the third instance, class_count == S == 2
+    # fails ns_support_gate and NO sh:not row may resurrect class A
+    ungated = negative_shapes(_stats(spark), confidence=0.5, support=2)
+    assert ungated.filter("target_class = 'A'").count() == 0
     r = rows[("A", "p")]
     assert r["not_shape"] == f"{SHAPES_NAMESPACE}pA_PS_NotShape"
     # the inner negated prop shape must NOT reuse the positive
@@ -227,7 +237,12 @@ def test_positive_and_negative_shapes_share_one_ttl(spark, tmp_path):
     import re
 
     from qse_spark.shapes import negative_shapes
-    st = _stats(spark)
+    from qse_spark.stats import shape_stats
+    # third A instance: A must pass ns_support_gate at S=2 for any
+    # sh:not rows to exist at all (see test_negative_shapes_sh_not)
+    st = shape_stats(spark.createDataFrame(
+        MICRO + [("e3", "rdf:type", "A", "iri")],
+        ["subject", "predicate", "object", "obj_kind"])).cache()
     ns, ps = pruned_shapes(st, 0.5, 2)
     neg = negative_shapes(st, confidence=0.5, support=2)
     out = str(tmp_path / "both.ttl")
@@ -482,3 +497,32 @@ ex:PersonShape a shx:NodeShape ;
 """
     assert ("NS", "http://ex/S", "http://ex/C") in set(
         _parse_ttl_shape_doc(iri_doc))
+
+def test_iri_rendering_authorityless_schemes():
+    """_iri must pass through ANY absolute IRI (urn:, mailto:, did: have a
+    scheme but no '://' — a '://' test mangled them into the shapes
+    namespace, review finding) and still namespace bare labels."""
+    from qse_spark.shapes import SHAPES_NAMESPACE, _iri
+
+    assert _iri("urn:isbn:0451450523") == "<urn:isbn:0451450523>"
+    assert _iri("mailto:a@b.example") == "<mailto:a@b.example>"
+    assert _iri("http://ex.org/C") == "<http://ex.org/C>"
+    assert _iri("undefined") == f"<{SHAPES_NAMESPACE}undefined>"
+    # a leading digit is not a scheme start
+    assert _iri("123:x") == f"<{SHAPES_NAMESPACE}123:x>"
+
+def test_type_property_sh_in_holds_target_class(spark):
+    """The instance-type property's sh:in list holds the TARGET CLASS
+    itself (ShapesExtractor.java:452-461: RDFCollections.asRDF(List.of(
+    subj))), never the branch's obj_type — which is usually the undefined
+    sentinel that no instance's rdf:type value ever matches (review
+    finding: a real SHACL validator would flag every instance)."""
+    from qse_spark.shapes import _prop_block, property_shapes
+    st = _stats(spark)
+    t = [r for r in property_shapes(st).collect()
+         if r["path"] == "rdf:type" and r["target_class"] == "A"][0]
+    block = _prop_block(t.asDict(recursive=True))
+    assert f"sh:in ( <{SHAPES_NAMESPACE}A> )" in block
+    assert UNDEFINED_OBJECT_TYPE not in block
+    # annotations for the branch still present on the prop shape
+    assert "/support> 2" in block
