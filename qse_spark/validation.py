@@ -32,7 +32,7 @@ from .constants import TYPE_PREDICATE, UNDEFINED_OBJECT_TYPE
 from .shapes import (kept_stat_rows, negative_shapes, node_shapes,
                      ns_support_gate, property_shapes)
 from .stats import (_literal_type_expr, entity_types_df, prune_negative,
-                    shape_stats, tagged_constraint_rows)
+                    shape_stats)
 
 
 def _checkpointed_stats(triples: DataFrame, type_predicate: str) -> DataFrame:
@@ -77,14 +77,20 @@ def validation_report(triples: DataFrame, confidence: float, support: int,
     focus = (etypes.join(
         F.broadcast(ns.select(F.col("target_class").alias("class"))),
         "class", "left_semi"))
-    tagged = tagged_constraint_rows(triples, etypes)
     # SHACL sh:maxCount counts VALUE NODES — the DISTINCT objects of the
     # path, NOT occurrences: duplicate assertions of one triple (or a cnt
     # multiplicity column) are the same value node, and the per-object-
     # class fanout of tagged_constraint_rows would inflate further (that
     # fanout is the faithful S6 semantics for the KERNEL's maxCount flag,
-    # but it is wrong for a validation report)
+    # but it is wrong for a validation report). Aggregating only the
+    # paths that carry a cardinality constraint keeps this a
+    # shape-path-sized shuffle instead of a corpus-sized one (review
+    # finding; sh_not_report already used the semi-join pattern).
+    card_paths = (ps.filter((F.col("min_count") == 1)
+                            | (F.col("max_count") == 1))
+                  .select(F.col("path").alias("predicate")).distinct())
     cardinality = (triples
+                   .join(F.broadcast(card_paths), "predicate", "left_semi")
                    .groupBy(F.col("subject").alias("entity"),
                             F.col("predicate").alias("property"))
                    .agg(F.countDistinct("object").alias("cnt")))
@@ -115,15 +121,59 @@ def validation_report(triples: DataFrame, confidence: float, support: int,
                      F.lit(None).cast("string").alias("obj_type"),
                      F.col("cnt")))
 
-    # valueType: observed (focus, path, objType) not in the kept shape's
-    # allowed set, restricted to paths that still HAVE a shape for the class
-    observed = tagged.select("entity", "property", "obj_type").distinct()
+    # valueType: SHACL sh:or is existential PER VALUE NODE (the Jena
+    # parity target, QseSHACLValidator.java:70-134, and the rule
+    # sh_not_report already applies — review finding: a per-(focus,
+    # objType) anti-join reported an object typed {A, B} as violating
+    # when only the sh:class A branch was kept, though the value
+    # conforms through A). An IRI value conforms through ANY of its
+    # classes, or through a kept nodeKind-IRI (undefined-sentinel)
+    # branch, which accepts every IRI; a literal conforms through its
+    # datatype branch. Only values failing ALL branches are reported,
+    # once per observed objType of the failing value (schema unchanged).
     ps_paths = ps.select(F.col("target_class").alias("class"),
                          F.col("path").alias("property"))
-    allowed = kept_rows.select("class", "property", "obj_type")
-    v_type = (focus.join(observed, "entity")
-              .join(ps_paths, ["class", "property"], "left_semi")
-              .join(allowed, ["class", "property", "obj_type"], "left_anti")
+    allowed = F.broadcast(
+        kept_rows.select("class", "property", "obj_type").distinct())
+    undef_ok = F.broadcast(
+        kept_rows.filter(F.col("obj_type") == UNDEFINED_OBJECT_TYPE)
+        .select("class", "property").distinct())
+
+    vals = (triples
+            .select(F.col("subject").alias("entity"),
+                    F.col("predicate").alias("property"),
+                    "object", "obj_kind")
+            .join(focus, "entity")
+            .join(ps_paths, ["class", "property"], "left_semi"))
+
+    iri_nodes = (vals.filter(F.col("obj_kind") == "iri")
+                 .join(etypes.select(F.col("entity").alias("object"),
+                                     F.col("class").alias("obj_type")),
+                       "object", "left")
+                 .select("entity", "class", "property", "object",
+                         F.coalesce(
+                             "obj_type",
+                             F.lit(UNDEFINED_OBJECT_TYPE)).alias("obj_type"))
+                 .distinct())
+    conforming = (iri_nodes
+                  .join(allowed, ["class", "property", "obj_type"],
+                        "left_semi")
+                  .select("entity", "class", "property", "object")
+                  .distinct())
+    iri_fail = (iri_nodes
+                .join(conforming, ["entity", "class", "property", "object"],
+                      "left_anti")
+                .join(undef_ok, ["class", "property"], "left_anti"))
+
+    lit_fail = (vals.filter(F.col("obj_kind") != "iri")
+                .withColumn("obj_type", _literal_type_expr())
+                .join(allowed, ["class", "property", "obj_type"],
+                      "left_anti"))
+
+    v_type = (iri_fail.select("entity", "class", "property", "obj_type")
+              .unionByName(
+                  lit_fail.select("entity", "class", "property", "obj_type"))
+              .distinct()
               .select(F.col("entity").alias("focus"),
                       F.col("class").alias("target_class"), "property",
                       F.lit("valueType").alias("violation"), "obj_type",

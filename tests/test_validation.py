@@ -86,3 +86,57 @@ def test_pruned_class_not_validated(spark):
     rows at all (no shape -> no constraint)."""
     rep = _report(spark, 0.5, 100)      # class_count 3 <= 100 -> no shapes
     assert rep.count() == 0
+
+
+def test_value_type_is_existential_per_value_node(spark):
+    """SHACL sh:or conformance is existential PER VALUE NODE (Jena
+    semantics, QseSHACLValidator.java:70-134 — review finding): an
+    object typed {C, D} conforms to a kept sh:class C branch even when
+    the D branch is pruned (no spurious row for D), a kept nodeKind-IRI
+    (undefined) branch accepts ANY IRI value, and a value whose every
+    class is unkept is reported under each of its observed classes."""
+    t = spark.createDataFrame(
+        [("e1", "rdf:type", "A", "iri"),
+         ("e2", "rdf:type", "A", "iri"),
+         ("e3", "rdf:type", "A", "iri"),
+         # o1 is multi-typed {C, D}: D is the 1/3-confidence minority
+         ("o1", "rdf:type", "C", "iri"),
+         ("o1", "rdf:type", "D", "iri"),
+         ("o2", "rdf:type", "C", "iri"),
+         ("o3", "rdf:type", "C", "iri"),
+         ("e1", "p", "o1", "iri"),
+         ("e2", "p", "o2", "iri"),
+         ("e3", "p", "o3", "iri"),
+         # r: two untyped-IRI values and one typed-D value -> the
+         # undefined branch (conf 2/3) survives 0.5 pruning, D (1/3)
+         # does not; the D-typed value still CONFORMS via nodeKind-IRI
+         ("e1", "r", "u1", "iri"),
+         ("e2", "r", "u2", "iri"),
+         ("e3", "r", "o1", "iri")],
+        ["subject", "predicate", "object", "obj_kind"])
+    rep = validation_report(t, 0.5, 1)
+    vt = {(r["focus"], r["property"], r["obj_type"])
+          for r in rep.filter(F.col("violation") == "valueType").collect()}
+    # e1's p-value o1 conforms through C (kept) despite D being pruned;
+    # e3's r-value o1 conforms through the kept undefined/nodeKind-IRI
+    # branch despite being typed only with pruned-for-r classes
+    assert vt == set(), vt
+
+    # counter-case: no undefined branch for r (u1/u2 typed C) and e3's
+    # r-value is a D-ONLY object -> (A, r, C) conf 2/3 kept, (A, r, D)
+    # conf 1/3 pruned, value o4 fails ALL branches -> reported under D
+    t2 = spark.createDataFrame(
+        [("e1", "rdf:type", "A", "iri"),
+         ("e2", "rdf:type", "A", "iri"),
+         ("e3", "rdf:type", "A", "iri"),
+         ("u1", "rdf:type", "C", "iri"),
+         ("u2", "rdf:type", "C", "iri"),
+         ("o4", "rdf:type", "D", "iri"),
+         ("e1", "r", "u1", "iri"),
+         ("e2", "r", "u2", "iri"),
+         ("e3", "r", "o4", "iri")],
+        ["subject", "predicate", "object", "obj_kind"])
+    rep2 = validation_report(t2, 0.5, 1)
+    vt2 = {(r["focus"], r["property"], r["obj_type"])
+           for r in rep2.filter(F.col("violation") == "valueType").collect()}
+    assert vt2 == {("e3", "r", "D")}, vt2
