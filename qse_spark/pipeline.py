@@ -25,7 +25,7 @@ own resumable stage instead.
 from __future__ import annotations
 
 import os
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,8 +50,11 @@ class PipelineConfig:
     token_max_df: int = DEFAULT_TOKEN_MAX_DF
     salt: int = 0                      # conversation-salt partitions (0 = off)
     scorer: str = "jaccard"            # linking verify: 'jaccard' | 'tfidf'
-    type_predicate: str = TYPE_PREDICATE
-    thresholds: list = field(default_factory=lambda: [(0.25, 1)])
+    # NOTE: no type_predicate knob — extraction emits
+    # constants.TYPE_PREDICATE and every stage consumes the same constant;
+    # a config field the extractor ignores would silently empty the class
+    # statistics when overridden (review finding). Non-transcript triple
+    # tables with a different type predicate call stats/shapes directly.
     # QSE-Approximate mode (reference entry point 2): per-class capped
     # sampling + sampling-adjusted confidence instead of exact stats
     approx: bool = False
@@ -125,7 +128,12 @@ def canonicalize_triples(triples: DataFrame, cmap: DataFrame,
         F.col("mention_id").alias("_om"), F.col("canonical_id").alias("_oc")))
     out = (triples
            .join(s_map, triples["subject"] == s_map["_sm"], "left")
+           # rdf:type objects are CLASS LABELS, never mentions — the same
+           # rule _normalize_triples and mentions_from_triples apply; a
+           # class label colliding with a mention surface form must not
+           # be rewritten to a canonical mention id (review finding)
            .join(o_map, (triples["obj_kind"] == "iri")
+                 & (triples["predicate"] != TYPE_PREDICATE)
                  & (triples["object"] == o_map["_om"]), "left")
            .select(F.coalesce("_sc", "subject").alias("subject"),
                    F.col("predicate"),
@@ -133,6 +141,18 @@ def canonicalize_triples(triples: DataFrame, cmap: DataFrame,
                    F.col("obj_kind"), F.col("_w")))
     return (out.groupBy("subject", "predicate", "object", "obj_kind")
             .agg(F.sum("_w").alias("cnt")))
+
+
+def _stats_for(canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The ONE approx-vs-exact stats dispatch, shared by the batch and
+    streaming-incremental paths so the two cannot drift."""
+    if cfg.approx:
+        from .operators.sampling import approx_shape_stats
+        return approx_shape_stats(
+            canon, max_cap=cfg.approx_max_cap,
+            target_pct=cfg.approx_target_pct, seed=cfg.approx_seed,
+            bully=cfg.approx_bully)
+    return shape_stats(canon)
 
 
 def kg_from_groups(groups: DataFrame,
@@ -153,16 +173,8 @@ def kg_from_groups(groups: DataFrame,
     cmap = canonical_map(links)
     canon = canonicalize_triples(groups, cmap,
                                  max_broadcast_rows=cfg.max_broadcast_rows)
-    if cfg.approx:
-        from .operators.sampling import approx_shape_stats
-        stats = approx_shape_stats(
-            canon, max_cap=cfg.approx_max_cap,
-            target_pct=cfg.approx_target_pct, seed=cfg.approx_seed,
-            bully=cfg.approx_bully, type_predicate=cfg.type_predicate)
-    else:
-        stats = shape_stats(canon, cfg.type_predicate)
     return {"links": links, "canonical_map": cmap,
-            "canonical_triples": canon, "shape_stats": stats}
+            "canonical_triples": canon, "shape_stats": _stats_for(canon, cfg)}
 
 
 def run_pipeline(spark: SparkSession, transcripts_path: str,
@@ -219,20 +231,11 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
                            max_broadcast_rows=cfg.max_broadcast_rows))
     # the canonical table's cnt column feeds the kernel as a multiplicity
     # weight — no re-expansion of duplicate triples
-    def _final_stats():
-        if cfg.approx:
-            from .operators.sampling import approx_shape_stats
-            return approx_shape_stats(
-                canon, max_cap=cfg.approx_max_cap,
-                target_pct=cfg.approx_target_pct, seed=cfg.approx_seed,
-                bully=cfg.approx_bully,
-                type_predicate=cfg.type_predicate)
-        return shape_stats(canon, cfg.type_predicate)
     stats, h6 = _stage(
         "shape_stats", h5,
-        ["type_predicate", "approx", "approx_max_cap", "approx_target_pct",
+        ["approx", "approx_max_cap", "approx_target_pct",
          "approx_seed", "approx_bully"],
-        _final_stats)
+        lambda: _stats_for(canon, cfg))
     return {"triples": triples, "triple_groups": groups, "links": links,
             "canonical_map": cmap, "canonical_triples": canon,
             "shape_stats": stats}
