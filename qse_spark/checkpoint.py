@@ -49,7 +49,13 @@ def input_fingerprint(path: str) -> dict:
         st = os.stat(path)
         return {"bytes": st.st_size, "mtime_ns": st.st_mtime_ns}
     total = mtime = n = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # prune hidden/temp DIRECTORIES too: a crashed writer's
+        # _temporary/.../part-*.parquet has an ordinary filename, and its
+        # later cleanup would change the fingerprint with no data change,
+        # recomputing the corpus-sized extraction checkpoint (review
+        # finding)
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
             if fn.startswith(("_", ".")):       # markers, manifests, crc
                 continue

@@ -232,3 +232,25 @@ def test_ensure_fixture_caches_both_worlds(tmp_path, monkeypatch):
         assert td.ensure_fixture(**kw) == fx
         assert os.stat(
             os.path.join(fx, "transcripts.parquet")).st_mtime_ns == mt
+
+
+def test_fingerprint_ignores_hidden_and_temp_dirs(tmp_path):
+    """A crashed writer's _temporary/.../part-*.parquet (ordinary
+    filename, hidden DIRECTORY) must not perturb the input fingerprint:
+    its later cleanup would invalidate every checkpoint with no data
+    change (review finding — only file NAMES were filtered)."""
+    from qse_spark.checkpoint import input_fingerprint
+
+    d = tmp_path / "in"
+    (d / "sub").mkdir(parents=True)
+    (d / "part-00000.parquet").write_bytes(b"data")
+    (d / "sub" / "part-00001.parquet").write_bytes(b"more")
+    clean = input_fingerprint(str(d))
+
+    tmp = d / "_temporary" / "0" / "task_1"
+    tmp.mkdir(parents=True)
+    (tmp / "part-00001.parquet").write_bytes(b"leftover")
+    (d / ".hidden_dir").mkdir()
+    (d / ".hidden_dir" / "junk.parquet").write_bytes(b"x")
+    assert input_fingerprint(str(d)) == clean
+    assert clean["files"] == 2
