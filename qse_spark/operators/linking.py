@@ -84,6 +84,25 @@ def _token_df(toks: DataFrame) -> DataFrame:
     return toks.groupBy("tok").agg(F.count("*").alias("df"))
 
 
+def _block_keys(sh: DataFrame, bands: int, rows: int,
+                token_max_df: int) -> DataFrame:
+    """(core, band, key): LSH band keys ∪ rare-token backstop keys
+    (band = -1) — THE key set _candidate_pairs self-joins (and caps) on.
+    blocking_report counts this same set, so every block kind the
+    max_block cap can drop is auditable (review finding: token blocks
+    above max_block were invisible to both reports when
+    token_max_df > max_block)."""
+    lsh_keys = _band_keys(sh, bands, rows)
+    toks = _core_tokens(sh)
+    # no broadcast hint: the rare-token dim is token-vocabulary-sized —
+    # unbounded at corpus scale — so AQE picks the join strategy
+    rare = _token_df(toks).filter(F.col("df") <= token_max_df)
+    tok_keys = (toks.join(rare, "tok")
+                .select("core", F.lit(-1).alias("band"),
+                        F.xxhash64("tok").alias("key")))
+    return lsh_keys.unionByName(tok_keys)
+
+
 def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
                      max_block: int,
                      token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
@@ -108,17 +127,7 @@ def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
     (round-4 bench) where LSH alone still linked every alias cluster
     exactly. Raise `bands` (recall) or `token_max_df` (backstop width)
     to buy recall with compute."""
-    lsh_keys = _band_keys(sh, bands, rows)
-
-    toks = _core_tokens(sh)
-    # no broadcast hint: the rare-token dim is token-vocabulary-sized —
-    # unbounded at corpus scale — so AQE picks the join strategy
-    rare = _token_df(toks).filter(F.col("df") <= token_max_df)
-    tok_keys = (toks.join(rare, "tok")
-                .select("core", F.lit(-1).alias("band"),
-                        F.xxhash64("tok").alias("key")))
-
-    keys = lsh_keys.unionByName(tok_keys)
+    keys = _block_keys(sh, bands, rows, token_max_df)
 
     # cap over-dense blocks (skew guard) — dropped blocks are observable via
     # blocking_report(); silent truncation would undercount links.
@@ -135,10 +144,15 @@ def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
 
 def blocking_report(cores: DataFrame, bands: int = DEFAULT_BANDS,
                     rows: int = DEFAULT_ROWS_PER_BAND,
-                    max_block: int = 2000) -> DataFrame:
-    """Blocks exceeding max_block (these get dropped): (band, key, blk_n)."""
+                    max_block: int = 2000,
+                    token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
+    """Blocks exceeding max_block (these get dropped): (band, key, count).
+    Counts the SAME key set the candidate pass caps (_block_keys), so
+    both LSH bands (band >= 0) and rare-token backstop blocks
+    (band = -1) are auditable."""
     sh = cores.select("core", shingles_col("core").alias("sh"))
-    return (_band_keys(sh, bands, rows).groupBy("band", "key").count()
+    return (_block_keys(sh, bands, rows, token_max_df)
+            .groupBy("band", "key").count()
             .filter(F.col("count") > max_block))
 
 
@@ -151,6 +165,35 @@ def dropped_token_report(cores: DataFrame,
     left to the LSH pass, never silently truncated. Tokenization and df
     are the exact helpers the candidate pass uses."""
     return _token_df(_core_tokens(cores)).filter(F.col("df") > token_max_df)
+
+
+def _core_sh_dim(cores: DataFrame) -> DataFrame:
+    """THE cached (core, sh, n) shingle dimension, adaptively coalesced —
+    shared by link_mentions and linking_edges so the two paths cannot
+    drift (review finding: the standalone path missed the width fix).
+
+    Eager localCheckpoint: the table feeds many plan branches and the
+    blocks are GC-cleaned when the DataFrame goes out of scope. Adaptive
+    width: the core dimension is usually orders of magnitude smaller
+    than the corpus (vocabulary vs occurrences); collapse it so the ~8
+    tiny LSH stages don't each pay a full-width shuffle. The count is
+    one cheap action against the checkpointed table, and the coalesce is
+    a narrow re-read of the checkpoint blocks per consumer. Width ~ one
+    partition per 8K cores (each core pays ~20 shingles x bands*rows
+    minhashes in the signature map stage — at 50K/partition a
+    145K-core world ran that stage on 2 of 4 executors; widening it
+    profiled linking_edges 30 s -> 25 s at 4 executors, round-4
+    vocabulary-scaled world), bounded by the cluster's parallelism so
+    tiny vocabularies stay single-partition (stage-latency-optimal at
+    the driver-bench scale)."""
+    sh_dim = (cores.select("core").distinct()
+              .withColumn("sh", shingles_col("core"))
+              .withColumn("n", F.size("sh"))
+              .localCheckpoint(eager=True))
+    n_cores = sh_dim.count()
+    npart = max(1, min(cores.sparkSession.sparkContext.defaultParallelism,
+                       n_cores // 8_000))
+    return sh_dim.coalesce(npart)
 
 
 def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
@@ -209,10 +252,7 @@ def link_mentions(mentions: DataFrame, tau: float = DEFAULT_TAU,
     'tfidf' (idf-weighted cosine over the same shingle terms)."""
     if scorer not in ("jaccard", "tfidf"):
         raise ValueError(f"unknown scorer {scorer!r}")
-    sh_dim = (mention_cores(mentions).select("core").distinct()
-              .withColumn("sh", shingles_col("core"))
-              .withColumn("n", F.size("sh"))
-              .localCheckpoint(eager=True))
+    sh_dim = _core_sh_dim(mention_cores(mentions))
     if scorer == "tfidf":
         return _tfidf_shingle_links(sh_dim, tau, bands, rows, max_block,
                                     token_max_df)
@@ -252,26 +292,7 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
     # table — vocabulary-sized when the caller passes deduped mentions
     # (as mentions_from_triples does), occurrence-sized otherwise.
     cores = mention_cores(mentions).localCheckpoint(eager=True)
-    sh_dim = (cores.select("core").distinct()
-              .withColumn("sh", shingles_col("core"))
-              .withColumn("n", F.size("sh"))
-              .localCheckpoint(eager=True))
-    # adaptive width: the core dimension is usually orders of magnitude
-    # smaller than the corpus (vocabulary vs occurrences); collapse it so
-    # the ~8 tiny LSH stages don't each pay a full-width shuffle. The count
-    # is one cheap action against the checkpointed table, and the coalesce
-    # is a narrow re-read of the checkpoint blocks per consumer.
-    # Width ~ one partition per 8K cores (each core pays ~20 shingles x
-    # bands*rows minhashes in the signature map stage — at 50K/partition
-    # a 145K-core world ran that stage on 2 of 4 executors; widening it
-    # profiled linking_edges 30 s -> 25 s at 4 executors, round-4
-    # vocabulary-scaled world), bounded by the cluster's parallelism so
-    # tiny vocabularies stay single-partition (stage-latency-optimal at
-    # the driver-bench scale).
-    n_cores = sh_dim.count()
-    npart = max(1, min(mentions.sparkSession.sparkContext.defaultParallelism,
-                       n_cores // 8_000))
-    sh_dim = sh_dim.coalesce(npart)
+    sh_dim = _core_sh_dim(cores)
     core_node = F.concat(F.lit("\x7f"), F.col("core"))
     proj = cores.select(F.col("mention_id").alias("src"),
                         core_node.alias("dst"),
@@ -366,8 +387,11 @@ def tfidf_cosine_pairs(docs: DataFrame, tau: float = 0.3,
     wts = tfidf_weights(docs, id_col, text_col, max_df)
     if prefix_filter is None:
         prefix_filter = tau >= 0.5
-    if prefix_filter:
-        wts = wts.localCheckpoint(eager=True)
+    # pinned for BOTH paths: the direct join consumes wts from two
+    # branches (a and b), the prefix path from five — without the pin
+    # each branch re-runs the two TF-IDF aggregations over the corpus
+    # (review finding: only the prefix path was pinned)
+    wts = wts.localCheckpoint(eager=True)
     a = wts.select(F.col("id").alias("id_a"), "tok",
                    F.col("w").alias("w_a"), F.col("norm").alias("n_a"))
     b = wts.select(F.col("id").alias("id_b"), "tok",

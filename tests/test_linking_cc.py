@@ -83,6 +83,26 @@ def test_blocking_report_flags_hot_blocks(spark):
     assert rep.count() == 0 or rep.toPandas()["count"].max() <= 40
 
 
+def test_blocking_report_audits_token_backstop_blocks(spark):
+    """The audit counts the SAME key set the candidate pass caps,
+    including the rare-token backstop blocks (band = -1) — a token with
+    max_block < df <= token_max_df used to be dropped by the cap while
+    appearing in NEITHER report (review finding)."""
+    # 30 cores share token 'hub' (df 30); unique suffixes keep LSH bands
+    # from also exceeding the cap
+    cores = spark.createDataFrame(
+        [(f"hub_{i:02d}x{'abcdefg'[i % 7]}",) for i in range(30)], ["core"])
+    rep = blocking_report(cores, max_block=10, token_max_df=100).toPandas()
+    tok_rows = rep[rep["band"] == -1]
+    assert not tok_rows.empty and tok_rows["count"].max() == 30
+    # above token_max_df the token never enters the pass, so the audit
+    # moves to dropped_token_report instead
+    from qse_spark.operators.linking import dropped_token_report
+    rep2 = blocking_report(cores, max_block=10, token_max_df=20).toPandas()
+    assert rep2[rep2["band"] == -1].empty
+    assert dropped_token_report(cores, token_max_df=20).count() >= 1
+
+
 def test_cc_distributed_path_equals_driver_path(spark):
     import random
     rng = random.Random(7)
