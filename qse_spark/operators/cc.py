@@ -25,11 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _symmetrize(edges: DataFrame) -> DataFrame:
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return edges.select("src", "dst").unionByName(rev).distinct()
-
-
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor to the neighborhood minimum.
 
