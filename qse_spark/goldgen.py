@@ -178,7 +178,7 @@ def gold_minhash_dedup(docs: list[tuple[int, str]], tau: float = 0.5,
     })
 
 
-def _simhash_sigs(docs: list[tuple[int, str]]) -> dict[int, int]:
+def _simhash_sigs(docs: list[tuple[int, str]]) -> dict[int, int | None]:
     tok_cache: dict[str, int] = {}
 
     def tok_hash(t: str) -> int:
@@ -188,11 +188,14 @@ def _simhash_sigs(docs: list[tuple[int, str]]) -> dict[int, int]:
             tok_cache[t] = h
         return h
 
-    sig: dict[int, int] = {}
+    # None marks TOKEN-LESS docs — distinct from a real doc whose votes
+    # legitimately produce signature 0 (the Spark side carries n_tok for
+    # the same distinction; review finding)
+    sig: dict[int, int | None] = {}
     for did, text in docs:
         toks = set(_tokens(text))
         if not toks:
-            sig[did] = 0
+            sig[did] = None
             continue
         n = len(toks)
         counts = [0] * 64
@@ -212,16 +215,17 @@ def gold_simhash_pairs(docs: list[tuple[int, str]],
                        hamming: int = 3, blocks: int = 4,
                        max_block: int = 500) -> pa.Table:
     """Twin of dedup.simhash_dedup, including its scale guards: rotation
-    chunks per nonzero signature, chunks with > max_block members dropped,
-    candidate pairs = docs sharing a surviving chunk, popcount verify.
-    Signature-0 docs never pair (the Spark side excludes them from the
-    block join; clusters group them separately)."""
+    chunks per TOKEN-BEARING doc, chunks with > max_block members
+    dropped, candidate pairs = docs sharing a surviving chunk, popcount
+    verify. Token-less docs never pair (the Spark side excludes them
+    from the block join by n_tok; clusters group them separately); a
+    token-bearing doc with a legitimately-zero signature stays in."""
     sig = _simhash_sigs(docs)
     width = 64 // blocks
     members: dict[tuple[int, int], list[int]] = {}
     for did in sorted(sig):
         s = sig[did]
-        if s == 0:
+        if s is None:
             continue
         for b in range(blocks):
             key = (s >> (b * width)) & ((1 << width) - 1)
@@ -250,13 +254,14 @@ def gold_simhash_pairs(docs: list[tuple[int, str]],
 def gold_simhash_clusters(docs: list[tuple[int, str]],
                           pairs: pa.Table) -> pa.Table:
     """Twin of dedup.simhash_dedup_clusters: union-find over the pair graph
-    plus ONE exact-dup group unioning all signature-0 (token-less) docs,
-    keeper = min doc_id per component, singletons self-map."""
+    plus ONE exact-dup group unioning all TOKEN-LESS docs (never docs
+    with a legitimately-zero signature), keeper = min doc_id per
+    component, singletons self-map."""
     uf = _UnionFind()
     for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
         uf.union(a, b)
     sig = _simhash_sigs(docs)
-    zero = [d for d in sorted(sig) if sig[d] == 0]
+    zero = [d for d in sorted(sig) if sig[d] is None]
     for d in zero[1:]:
         uf.union(zero[0], d)
     keeper: dict[int, int] = {}
@@ -685,7 +690,7 @@ def gold_winnow(docs: list[tuple[int, str]], k: int = 8,
 
 # ------------------------------------------------------------ orchestration
 
-_GOLD_VERSION = 10
+_GOLD_VERSION = 11
 
 
 def ensure_training_gold(sf_dir: str) -> str:

@@ -17,12 +17,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cc import connected_components
-
-_TOKEN_SPLIT = r"\s+"
-
-
-def _tokens(col):
-    return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda t: t != "")
+# ONE whitespace tokenizer for the whole text/dedup family: goldgen's
+# oracle twin mirrors exactly this expression, and two private copies
+# could silently diverge from each other and from the gold (review
+# finding)
+from .text import _tokens  # noqa: F401  (re-exported for dedup callers)
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -208,7 +207,12 @@ def simhash(docs: DataFrame) -> DataFrame:
     per doc and an OR-fold of the majority bits back into a signature. The
     shuffle carries one 65-long row per (doc, map partition) — map-side
     combine makes the per-doc vote vector the only cross-node payload.
-    Docs with no tokens get signature 0 (left-join coalesce)."""
+    Emits (doc_id, simhash, n_tok); docs with no tokens get signature 0
+    AND n_tok 0 (left-join coalesce). n_tok is what distinguishes a
+    token-less doc from a real doc whose bit votes legitimately produce
+    signature 0 (~(3/4)^64 per 2-token doc — expected occurrences at
+    billions of docs, review finding): merging the latter into the
+    empty-doc exact-dup cluster would mark real content duplicate."""
     toks = (docs.select(
         "doc_id",
         F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
@@ -221,21 +225,26 @@ def simhash(docs: DataFrame) -> DataFrame:
     for b in range(64):
         bit = (F.col(f"c{b}") * 2 > F.col("n")).cast("long")
         sig = sig.bitwiseOR(F.shiftleft(bit, b))
-    signed = votes.select("doc_id", sig.alias("simhash"))
+    signed = votes.select("doc_id", sig.alias("simhash"), "n")
     return (docs.select("doc_id").join(signed, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("simhash", F.lit(0).cast("long"))
-                    .alias("simhash")))
+                    .alias("simhash"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n_tok")))
 
 
 def _simhash_chunk_keys(sig: DataFrame, blocks: int) -> DataFrame:
-    """(doc_id, simhash, blk, key): `blocks` rotation chunks per NONZERO
-    signature. Signature-0 docs (token-less text — and crawled corpora are
-    full of them) are excluded here: they would share ALL chunk keys with
-    each other, turning the block self-join quadratic in the empty-doc
-    count (round-3 verdict item 1). They are handled as one exact-dup
-    group by simhash_dedup_clusters instead."""
-    sig = sig.filter(F.col("simhash") != 0)
+    """(doc_id, simhash, blk, key): `blocks` rotation chunks per
+    TOKEN-BEARING doc. Token-less docs (and crawled corpora are full of
+    them) are excluded here: they would share ALL chunk keys with each
+    other, turning the block self-join quadratic in the empty-doc count
+    (round-3 verdict item 1); simhash_dedup_clusters groups them as one
+    exact-dup cluster instead. The exclusion tests n_tok, NOT the
+    signature — a real doc whose votes legitimately produce signature 0
+    (review finding) stays in the join and pairs with its own kind
+    through the shared zero chunks, guarded by max_block like any hot
+    chunk."""
+    sig = sig.filter(F.col("n_tok") > 0)
     width = 64 // blocks
     chunks = []
     for b in range(blocks):
@@ -254,8 +263,8 @@ def dropped_chunk_report(docs: DataFrame, blocks: int = 4,
     """(blk, key, n) for simhash rotation chunks the `max_block` cap drops
     from simhash_dedup — dropped blocks must be observable, never silent
     (same contract as dropped_shingle_report / similarity's
-    dropped_bucket_report). Signature-0 (token-less) docs never enter the
-    chunk join; count them with simhash(docs).filter("simhash = 0")."""
+    dropped_bucket_report). Token-less docs never enter the chunk join;
+    count them with simhash(docs).filter("n_tok = 0")."""
     keys = _simhash_chunk_keys(simhash(docs), blocks)
     return (keys.groupBy("blk", "key").agg(F.count("*").alias("n"))
             .filter(F.col("n") > max_block))
@@ -272,7 +281,7 @@ def simhash_dedup(docs: DataFrame, hamming: int = 3,
     Scale guards (round-3 verdict item 1): chunks shared by more than
     `max_block` docs are dropped before the self-join (boilerplate text
     makes hot chunks quadratic; inspect drops with dropped_chunk_report),
-    and signature-0 docs are excluded entirely — emitting their pairwise
+    and token-less docs are excluded entirely — emitting their pairwise
     matches is O(empty_docs²) OUTPUT by definition, which no cap fixes.
     Use simhash_dedup_clusters for the keeper contract that still groups
     them (linearly, as one exact-dup cluster).
@@ -284,8 +293,14 @@ def simhash_dedup(docs: DataFrame, hamming: int = 3,
     the chunk keys fan out into 4 rotation branches x (count + two join
     sides), and without the pin each branch would re-run the corpus
     token-explode aggregation (measured 32 parquet scans in the
-    un-pinned physical plan; the signature table is one 2-long row per
+    un-pinned physical plan; the signature table is one 3-long row per
     doc, so pinning it is doc-count-sized, not corpus-sized)."""
+    if hamming >= blocks:
+        # the pigeonhole guarantee (some chunk equal) holds only for
+        # hamming < blocks; beyond it matching pairs would be silently
+        # lost (review finding) — fail loudly instead
+        raise ValueError(f"hamming={hamming} must be < blocks={blocks} "
+                         "for the block-rotation pigeonhole to hold")
     if sig is None:
         sig = simhash(docs).localCheckpoint(eager=True)
     keys = _simhash_chunk_keys(sig, blocks)
@@ -311,13 +326,16 @@ def simhash_dedup_clusters(docs: DataFrame, hamming: int = 3,
     minhash_dedup, so either dedup family drops into the same downstream
     filter.
 
-    Signature-0 docs (excluded from the pair join, see simhash_dedup) are
+    Token-less docs (excluded from the pair join, see simhash_dedup) are
     still clustered: all of them form ONE exact-dup group via a linear
     star of edges to their min doc_id — O(empty_docs) edges instead of
     the O(empty_docs²) pairs the uncapped join used to materialize.
+    Membership tests n_tok, never the signature: a token-bearing doc
+    whose votes produce signature 0 must NOT be merged into the
+    empty-doc cluster (review finding).
 
-    The signature table (one 2-long row per doc) is computed ONCE and
-    eagerly local-checkpointed — the pair join and the signature-0 star
+    The signature table (one 3-long row per doc) is computed ONCE and
+    eagerly local-checkpointed — the pair join and the token-less star
     both read it, and without the pin the token-explode corpus scan (the
     dominant cost) would run twice. Pass a precomputed `sig` to share it
     with sibling calls (e.g. a pairs query next to this one)."""
@@ -326,7 +344,7 @@ def simhash_dedup_clusters(docs: DataFrame, hamming: int = 3,
     pairs = simhash_dedup(docs, hamming=hamming, blocks=blocks,
                           max_block=max_block, sig=sig) \
         .select("id_a", "id_b")
-    zdocs = sig.filter(F.col("simhash") == 0).select("doc_id")
+    zdocs = sig.filter(F.col("n_tok") == 0).select("doc_id")
     zmin = zdocs.agg(F.min("doc_id").alias("id_a"))
     star = (zdocs.crossJoin(F.broadcast(zmin))
             .filter(F.col("doc_id") != F.col("id_a"))

@@ -33,6 +33,13 @@ def test_xxh64_matches_spark(spark):
     assert row["d"] == _signed(hash_int(7, xxh64(b"tok", SPARK_SEED)))
     assert row["e"] == _signed(hash_long(3, hash_long(-42, SPARK_SEED)))
     assert row["f"] == _signed(xxh64("ünïcödé ✨".encode(), SPARK_SEED))
+    # spark_xxhash64 operand dispatch: a bare int folds as LONG; an
+    # IntegerType operand (what F.lit(i) is) must be wrapped as
+    # IntOperand or the gold silently diverges (review finding)
+    from qse_spark.xxh import IntOperand, spark_xxhash64
+    assert row["d"] == spark_xxhash64("tok", IntOperand(7))
+    assert row["e"] == spark_xxhash64(-42, 3)
+    assert row["d"] != spark_xxhash64("tok", 7)   # the documented trap
 
 
 @pytest.fixture(scope="module")
@@ -280,3 +287,36 @@ def test_tfidf_prefix_filter_lossless_random_worlds(spark):
             assert set(direct) == set(prefix), (seed, tau)
             assert all(math.isclose(direct[k], prefix[k], rel_tol=1e-9)
                        for k in direct), (seed, tau)
+
+
+def test_simhash_zero_signature_doc_not_merged_with_empty(spark):
+    """A token-bearing doc whose bit votes legitimately produce signature
+    0 must NOT be merged into the token-less exact-dup cluster (review
+    finding: the cluster star used to test simhash == 0, which at
+    billions of docs marks ~1e-8 of real 2-token docs as duplicates of
+    empty documents). Membership now tests n_tok. The fixture fakes the
+    rare event by passing a precomputed sig table."""
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, ""), (4, "gamma delta")],
+        ["doc_id", "text"])
+    sig = dedup.simhash(d)
+    rows = {r["doc_id"]: (r["simhash"], r["n_tok"]) for r in sig.collect()}
+    assert rows[2] == (0, 0) and rows[3] == (0, 0)
+    assert rows[1][1] == 2 and rows[4][1] == 2
+    # force doc 1's signature to 0 while keeping its n_tok — the
+    # legitimately-zero-signature case
+    forced = sig.withColumn(
+        "simhash", F.when(F.col("doc_id") == 1, F.lit(0).cast("long"))
+        .otherwise(F.col("simhash"))).localCheckpoint(eager=True)
+    m = {r["doc_id"]: r["keeper_id"]
+         for r in dedup.simhash_dedup_clusters(d, hamming=3,
+                                               sig=forced).collect()}
+    assert m[2] == 2 and m[3] == 2        # empty docs cluster together
+    assert m[1] == 1 and m[4] == 4        # real docs untouched
+
+    # pigeonhole precondition is now asserted, not assumed
+    import pytest
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_dedup(d, hamming=4, blocks=4)

@@ -54,8 +54,11 @@ def test_simhash_properties(spark, docs):
     ham = bin((sig[0] ^ sig[2]) & (2**64 - 1)).count("1")
     ham_far = bin((sig[0] ^ sig[3]) & (2**64 - 1)).count("1")
     assert ham < ham_far                 # near-dup closer than unrelated
+    # hamming=10 needs blocks > 10 for the pigeonhole guarantee (now
+    # asserted at entry rather than silently losing distance-5..10 pairs)
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in dedup.simhash_dedup(docs, hamming=10).collect()}
+             for r in dedup.simhash_dedup(docs, hamming=10,
+                                          blocks=16).collect()}
     assert pairs.get((0, 1)) == 0
 
 
@@ -442,3 +445,40 @@ def test_stratified_sample_caps_and_determinism(spark):
         per[stratum] = per.get(stratum, 0) + 1
     assert all(n <= 10 for n in per.values())
     assert T.stratified_sample(docs, cap=10, seed=8).collect() != a.collect()
+
+
+def test_resize_truncated_png_passes_through(spark):
+    """A PNG truncated right after the IHDR dims (24 bytes — enough for
+    _parse_png, too short for CRC surgery) must pass through unresized
+    instead of CRC-ing the wrong range and appending past the buffer
+    (review finding); a full 33-byte header still gets surgery."""
+    import struct
+    import zlib as _zlib
+
+    from qse_spark.operators.multimodal import decode_media, resize_media
+
+    sig = bytes([0x89]) + b"PNG" + bytes([0x0D, 0x0A, 0x1A, 0x0A])
+    head24 = (sig + (13).to_bytes(4, "big") + b"IHDR"
+              + (1000).to_bytes(4, "big") + (500).to_bytes(4, "big"))
+    assert len(head24) == 24
+    ihdr_data = ((1000).to_bytes(4, "big") + (500).to_bytes(4, "big")
+                 + bytes([8, 6, 0, 0, 0]))
+    full = (sig + (13).to_bytes(4, "big") + b"IHDR" + ihdr_data
+            + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr_data))
+            + (0).to_bytes(4, "big") + b"IEND" + bytes(4))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(head24), "image/png"),
+         (2, "image", bytearray(full), "image/png")],
+        ["media_id", "kind", "payload", "mime"])
+    out = {r["media_id"]: r for r in
+           resize_media(media, max_side=256).collect()}
+    assert out[1]["resampled"] == "none"
+    assert (out[1]["width"], out[1]["height"]) == (1000, 500)
+    assert bytes(out[1]["payload"]) == head24
+    assert out[2]["resampled"] == "header"
+    assert (out[2]["width"], out[2]["height"]) == (256, 128)
+    dec = decode_media(resize_media(media, max_side=256)
+                       .select("media_id", "kind", "payload", "mime"),
+                       fake=False).collect()
+    d = {r["media_id"]: (r["width"], r["height"]) for r in dec}
+    assert d[2] == (256, 128)
