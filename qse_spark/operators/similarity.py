@@ -35,11 +35,19 @@ def with_unit_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
     """Adds `_unit` (L2-normalized copy) — cosine becomes a plain dot.
 
     Everything is cast to double FIRST: float32 arithmetic would diverge
-    from the (double-only) SQL oracle in the low decimals."""
+    from the (double-only) SQL oracle in the low decimals.
+
+    The norm is BOUND as a lambda variable (transform over a 1-element
+    array) so the O(dim) fold runs ONCE per row: closing over it inside
+    the element transform re-evaluates the fold per element — O(dim²)
+    per row, the same evaluation-count trap winnow_fingerprint documents
+    (review finding; measured 66 s -> 0.4 s for 2,000 dim-1536 rows)."""
     d = F.col(col).cast("array<double>")
-    n = _norm(d)
-    unit = F.transform(d, lambda v: v / n)
-    return emb.withColumn("_unit", F.when(n > 0, unit).otherwise(d))
+    unit = F.element_at(
+        F.transform(F.array(_norm(d)),
+                    lambda n: F.when(n > 0, F.transform(d, lambda v: v / n))
+                    .otherwise(d)), 1)
+    return emb.withColumn("_unit", unit)
 
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -140,10 +148,15 @@ def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.95, dim: int = 64,
     e = e.join(cnt, "bucket").filter(F.col("bn") <= max_block).drop("bn")
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    # no distinct: each vec_id occupies exactly ONE bucket (scalar
+    # withColumn, unlike minhash's multi-band explode), so the bucket
+    # self-join already emits every pair at most once — a dedup here
+    # would add a full extra shuffle over the output for no effect
+    # (review finding)
     return (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= tau)
-            .select("id_a", "id_b", "cosine").distinct())
+            .select("id_a", "id_b", "cosine"))
 
 
 # ----------------------------------------------------------------- IVF ANN

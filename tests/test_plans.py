@@ -337,3 +337,21 @@ def test_cc_star_rounds_are_join_free(spark):
         assert "Window" in s
         assert "Join" not in s, s
         assert "Broadcast" not in s, s
+
+
+def test_unit_norm_single_fold_eval(spark):
+    """The L2-norm fold must be BOUND once per row (lambda variable over a
+    1-element array), never closed over inside the element transform —
+    that re-evaluates the O(dim) aggregate per element, O(dim²)/row
+    (review finding: measured 66 s -> 0.4 s for 2,000 dim-1536 rows;
+    the same trap test_winnow_single_hash_array_eval guards)."""
+    from qse_spark.operators.similarity import with_unit_norm
+    from qse_spark.plans import explain_str
+    emb = spark.createDataFrame([(1, [3.0, 4.0])], ["vec_id", "embedding"])
+    s = explain_str(with_unit_norm(emb))
+    assert s.count("aggregate(") == 1, "norm fold evaluated per element"
+    got = with_unit_norm(emb).select("_unit").collect()[0][0]
+    assert [round(v, 6) for v in got] == [0.6, 0.8]
+    # zero vector passes through unscaled
+    z = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    assert with_unit_norm(z).select("_unit").collect()[0][0] == [0.0, 0.0]
