@@ -19,19 +19,26 @@ def get_spark(master: str | None = None, app_name: str = "qse-spark",
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    # master parsing is independent of the shuffle_partitions argument:
+    # executor memory comes from the local-cluster master string and must
+    # be configured whether or not the caller overrides the shuffle width
+    # (review finding — an explicit shuffle_partitions used to silently
+    # drop the mem_mb to Spark's 1g default)
     executor_mem = None
+    inner = master[master.find("[") + 1:master.find("]")] if "[" in master else "4"
+    if master.startswith("local-cluster"):
+        # local-cluster[n_exec, cores, mem_mb]: n separate executor JVMs
+        # — the sandbox's truest model of multi-executor scaling
+        n_exec, cores, mem_mb = [int(x) for x in inner.split(",")]
+        inferred = n_exec * cores
+        executor_mem = f"{mem_mb}m"
+    elif inner == "*":
+        inferred = os.cpu_count() or 8
+    else:
+        # local[N] or local[N, maxFailures] (Spark's retry form)
+        inferred = int(inner.split(",")[0])
     if shuffle_partitions is None:
-        inner = master[master.find("[") + 1:master.find("]")] if "[" in master else "4"
-        if master.startswith("local-cluster"):
-            # local-cluster[n_exec, cores, mem_mb]: n separate executor JVMs
-            # — the sandbox's truest model of multi-executor scaling
-            n_exec, cores, mem_mb = [int(x) for x in inner.split(",")]
-            shuffle_partitions = n_exec * cores
-            executor_mem = f"{mem_mb}m"
-        elif inner == "*":
-            shuffle_partitions = os.cpu_count() or 8
-        else:
-            shuffle_partitions = int(inner)
+        shuffle_partitions = inferred
 
     # shuffle/spill on tmpfs when available: on this single-node sandbox the
     # NVMe is shared with co-tenants and becomes the scaling bottleneck; a
