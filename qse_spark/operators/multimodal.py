@@ -376,9 +376,17 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
         if png is not None:
             w, h = png
             nw, nh = fit_dims(w, h, max_side)
+            # surgery needs the WHOLE IHDR chunk incl. its CRC field
+            # (33 bytes); _parse_png only guarantees 24 — on a truncated
+            # header the CRC would cover the wrong range and be appended
+            # past the end of the buffer (review finding). Truncated
+            # PNGs pass through unresized, reported at source dims.
             if (nw, nh) != (w, h):
-                base.update(payload=_resize_png(p, nw, nh),
-                            resampled="header")
+                if len(p) >= 33:
+                    base.update(payload=_resize_png(p, nw, nh),
+                                resampled="header")
+                else:
+                    nw, nh = w, h
             base.update(src_width=w, src_height=h, width=nw, height=nh)
             return base
         jpg = _parse_jpeg(p)

@@ -21,15 +21,46 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
+def _bpe_est(n_tok, n_chars):
+    """BPE-ish subword estimate: ceil(chars/4) bounded below by word
+    count (common len/4 heuristic)."""
+    return F.greatest(n_tok, F.ceil(n_chars / 4).cast("int"))
+
+
+def _norm_text():
+    """Whitespace-normalized lowercase text — the fingerprint input."""
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+
+def _quality_exprs(toks):
+    """(n_tok, n_chars, mean_wl, alpha_ratio, score) expression bundle
+    over a token-array column plus the `text` column — THE quality
+    formulas, shared by the standalone operators and the fused profile()
+    so the two cannot drift (review finding: profile used to restate
+    them)."""
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    mean_wl = F.when(n_tok > 0,
+                     F.aggregate(toks, F.lit(0),
+                                 lambda a, t: a + F.length(t)) / n_tok
+                     ).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(20.0))
+    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)) \
+        .otherwise(F.lit(0.5))
+    score = F.round(0.4 * len_score + 0.3 * alpha_ratio + 0.3 * wl_score, 6)
+    return n_tok, n_chars, mean_wl, alpha_ratio, score
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens) — whitespace tokens; the BPE-ish subword estimate
-    adds ceil(chars/4) bounded below by word count (common len/4 heuristic)."""
+    """(doc_id, n_tokens, n_tokens_bpe_est) — whitespace tokens + the
+    BPE-ish estimate (_bpe_est)."""
     toks = _tokens(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.greatest(F.size(toks),
-                   F.ceil(F.length(F.col("text")) / 4).cast("int"))
+        _bpe_est(F.size(toks), F.length(F.col("text")))
         .alias("n_tokens_bpe_est"))
 
 
@@ -63,20 +94,10 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_chars, n_tokens, mean_word_len, alpha_ratio, score) —
-    simple length/character-class heuristics; score in [0,1]."""
-    toks = _tokens(F.col("text"))
-    n_tok = F.size(toks)
-    n_chars = F.length(F.col("text"))
-    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
-    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
-    mean_wl = F.when(n_tok > 0,
-                     F.aggregate(toks, F.lit(0),
-                                 lambda a, t: a + F.length(t)) / n_tok
-                     ).otherwise(F.lit(0.0))
-    len_score = F.least(F.lit(1.0), n_tok / F.lit(20.0))
-    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)) \
-        .otherwise(F.lit(0.5))
-    score = F.round(0.4 * len_score + 0.3 * alpha_ratio + 0.3 * wl_score, 6)
+    simple length/character-class heuristics (_quality_exprs);
+    score in [0,1]."""
+    n_tok, n_chars, mean_wl, alpha_ratio, score = \
+        _quality_exprs(_tokens(F.col("text")))
     return docs.select("doc_id", n_chars.alias("n_chars"),
                        n_tok.alias("n_tokens"),
                        F.round(mean_wl, 6).alias("mean_word_len"),
@@ -87,8 +108,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — md5 of whitespace-normalized lowercase text (md5 so the
     DuckDB oracle reproduces it bit-for-bit)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return docs.select("doc_id", F.md5(norm).alias("fp"))
+    return docs.select("doc_id", F.md5(_norm_text()).alias("fp"))
 
 
 def profile(docs: DataFrame) -> DataFrame:
@@ -101,28 +121,17 @@ def profile(docs: DataFrame) -> DataFrame:
     At 100 TB this is a single map stage — one scan, zero shuffle — where
     running the four operators separately would scan the corpus four
     times. The component semantics are bit-identical to the standalone
-    operators (shared expression helpers), so either form can be used."""
+    operators — _quality_exprs / _bpe_est / _norm_text / _lang_best are
+    the SAME expression builders both forms call."""
     toks = _tokens(F.col("text"))
     base = docs.select("doc_id", F.col("text"), toks.alias("t"))
-    n_tok = F.size(F.col("t"))
-    n_chars = F.length(F.col("text"))
-    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
-    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
-    mean_wl = F.when(n_tok > 0,
-                     F.aggregate(F.col("t"), F.lit(0),
-                                 lambda a, t: a + F.length(t)) / n_tok
-                     ).otherwise(F.lit(0.0))
-    len_score = F.least(F.lit(1.0), n_tok / F.lit(20.0))
-    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)) \
-        .otherwise(F.lit(0.5))
-    score = F.round(0.4 * len_score + 0.3 * alpha_ratio + 0.3 * wl_score, 6)
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n_tok, n_chars, mean_wl, alpha_ratio, score = \
+        _quality_exprs(F.col("t"))
     best = _lang_best(F.col("t"))
     return base.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.greatest(n_tok, F.ceil(n_chars / 4).cast("int"))
-        .alias("n_tokens_bpe_est"),
+        _bpe_est(n_tok, n_chars).alias("n_tokens_bpe_est"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
         .alias("lang_pred"),
         best["hits"].alias("lang_hits"),
@@ -130,7 +139,7 @@ def profile(docs: DataFrame) -> DataFrame:
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         score.alias("score"),
-        F.md5(norm).alias("fp"))
+        F.md5(_norm_text()).alias("fp"))
 
 
 def winnow_fingerprint(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:

@@ -109,18 +109,36 @@ def hash_int(value: int, seed: int) -> int:
     return _fmix(h)
 
 
-def spark_xxhash64(*cols, seed: int = SPARK_SEED) -> int:
-    """Replicates Spark's xxhash64(c1, c2, ...) SIGNED long result.
+class IntOperand:
+    """Marks a spark_xxhash64 operand as IntegerType (Spark's hashInt
+    path) — the type `F.lit(i)` has, as opposed to a LongType column."""
+    __slots__ = ("value",)
 
-    Accepts str (hashed as UTF-8 bytes) and int (hashed as 8-byte LE long)
-    operands, folding left-to-right with the running hash as the next seed —
-    exactly `org.apache.spark.sql.catalyst.expressions.XxHash64`.
+    def __init__(self, value: int):
+        self.value = value
+
+
+def spark_xxhash64(*cols, seed: int = SPARK_SEED) -> int:
+    """Replicates Spark's xxhash64(c1, c2, ...) SIGNED long result for
+    LongType/string operands, folding left-to-right with the running hash
+    as the next seed — `org.apache.spark.sql.catalyst.expressions
+    .XxHash64`.
+
+    TYPE CAVEAT (review finding): a bare Python int is hashed as a
+    LONG (hash_long). Spark hashes an IntegerType operand — which is
+    what `F.lit(i)` produces — through the DIFFERENT hashInt
+    specialization, so for `xxhash64(col, F.lit(i))` parity wrap the
+    int as IntOperand(i) (or call hash_int directly, as
+    goldgen.gold_minhash_dedup does). Trusting the long path for a lit()
+    int produces silently wrong gold and a spurious oracle mismatch.
     """
     h = seed & _M
     for c in cols:
         if isinstance(c, str):
             h = xxh64(c.encode("utf-8"), h)
-        elif isinstance(c, (int,)):
+        elif isinstance(c, IntOperand):
+            h = hash_int(c.value, h)
+        elif isinstance(c, int):
             h = hash_long(c, h)
         else:
             raise TypeError(f"unsupported operand type {type(c)}")
