@@ -88,15 +88,22 @@ TEMPLATES = [
 
 def _named(rx: str) -> str:
     """Capturing groups -> named groups g1..gN (pc.extract_regex returns a
-    struct keyed by group NAME; RE2 supports (?P<...>) and lazy `*?`)."""
+    struct keyed by group NAME; RE2 supports (?P<...>) and lazy `*?`).
+
+    Escape-aware: the scan consumes `\\x` pairs first, so a literal
+    `\\(` is never rewritten (and `\\\\(` — escaped backslash, then a
+    real group — is). No current template has a literal paren, but a
+    blind `\\((?!\\?)` sub would silently corrupt the first one added."""
     i = 0
 
-    def repl(_m):
+    def repl(m):
         nonlocal i
+        if m.group(1) is not None:  # an escaped char, incl. literal \(
+            return m.group(1)
         i += 1
         return f"(?P<g{i}>"
 
-    return re.sub(r"\((?!\?)", repl, rx)
+    return re.sub(r"(\\.)|\((?!\?)", repl, rx)
 
 
 _ARROW_TEMPLATES = [(pred, needle, _named(rx), subj_cls, obj_cls, obj_kind)
@@ -284,8 +291,12 @@ def _raw_group_iter(batches: Iterator[pa.RecordBatch]
         t = _extract_table(vc.field("values"), [("cnt", vc.field("counts"))])
         if t is None:
             continue
+        # select by NAME before the positional rename: pyarrow's
+        # TableGroupBy column order (keys vs "cnt_sum") is an
+        # implementation detail that has moved across releases
         g = (t.group_by(_GROUP_KEYS)
              .aggregate([("cnt", "sum")])
+             .select(_GROUP_KEYS + ["cnt_sum"])
              .rename_columns(_GROUP_KEYS + ["cnt"]))
         yield from g.combine_chunks().to_batches()
 

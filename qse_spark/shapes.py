@@ -156,20 +156,25 @@ def kept_stat_rows(stats: DataFrame, confidence: float, support: int,
 
 
 def pruned_shapes(stats: DataFrame, confidence: float, support: int,
-                  type_predicate: str = TYPE_PREDICATE
-                  ) -> tuple[DataFrame, DataFrame]:
+                  type_predicate: str = TYPE_PREDICATE,
+                  sampled: bool = False) -> tuple[DataFrame, DataFrame]:
     """(node_shapes, property_shapes) after QSE-Pruned filtering:
     node shapes gated on ns_support_gate; property rows from
-    kept_stat_rows. The instance-type PROPERTY SHAPE survives even when
+    kept_stat_rows (sampled= selects its relative-support rule). The
+    instance-type PROPERTY SHAPE survives even when
     every one of its branches fails the threshold (the reference
     pre-puts an empty objTypesSet for it,
     performPropShapePruningPositive:296-299, so the PS renders with
     sh:in and no annotations) — reconstructed here as an explicit
     empty-constraints row for gate-surviving classes missing a type
-    PS."""
+    PS. Single emitted-model spine: sinks.write_reference_outputs
+    renders exactly this pair per grid point (round-4 review finding:
+    the sink used to rebuild the pair without the type-PS
+    reconstruction, so artifact and spine could disagree)."""
     ns = node_shapes(stats).filter(ns_support_gate(support))
     ps = property_shapes(kept_stat_rows(stats, confidence, support,
-                                        type_predicate), type_predicate)
+                                        type_predicate, sampled=sampled),
+                         type_predicate)
     missing = ns.join(
         ps.filter(F.col("path") == type_predicate)
         .select("target_class"), "target_class", "left_anti")

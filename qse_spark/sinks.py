@@ -270,13 +270,14 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
     sampled=True prunes each grid point with the QSE-Approximate
     relative-support rule (stats must carry the sampled_*_count columns
     approx_shape_stats emits) so a sampled run's TTLs/metrics keep the
-    shapes the reference's sampled run keeps. sh:not wrappers always
-    use the absolute complement rule (ShapesExtractor.java:386-412 has
-    no sampling adjustment)."""
+    shapes the reference's sampled run keeps; sh:not wrappers follow
+    the same switch — the reference's negativePruning uses the relative
+    complement rule whenever sampling is on and S != 1
+    (ShapesExtractor.java:400-404)."""
     from .constants import TYPE_PREDICATE
-    from .shapes import (experiments_grid_df, kept_stat_rows,
-                         negative_shapes, node_shapes, ns_support_gate,
-                         property_shapes, write_ttl)
+    from .shapes import (experiments_grid_df, negative_shapes,
+                         node_shapes, property_shapes, pruned_shapes,
+                         write_ttl)
 
     tp = type_predicate or TYPE_PREDICATE
     grid = grid if grid is not None else [(0.25, 100), (0.5, 100)]
@@ -304,12 +305,13 @@ def write_reference_outputs(stats: DataFrame, class_counts: DataFrame,
                             metrics_csv, dataset)
 
     for conf, supp in grid:
-        # ONE kept-row spine feeds both the TTL and its metric row, so
-        # the metrics always describe the shapes in the adjacent file
-        kept = kept_stat_rows(stats, conf, supp, tp, sampled=sampled)
-        ns = node_shapes(stats).filter(ns_support_gate(supp))
-        ps = property_shapes(kept, tp)
-        neg = negative_shapes(stats, conf, supp, tp) if sh_not else None
+        # ONE pruned_shapes spine (kept rows + the empty-constraints
+        # type-PS reconstruction) feeds both the TTL and its metric
+        # row, so the artifact, the metrics, and the P/R/parity paths
+        # all describe the same emitted model
+        ns, ps = pruned_shapes(stats, conf, supp, tp, sampled=sampled)
+        neg = (negative_shapes(stats, conf, supp, tp, sampled=sampled)
+               if sh_not else None)
         tag = f"QSE_{conf}_{supp}"
         p = os.path.join(out_dir, f"{dataset}_{tag}_SHACL.ttl")
         write_ttl(ns, ps, p, neg_props=neg)

@@ -145,3 +145,23 @@ def test_salt_spreads_giant_conversation(spark):
                .distinct().count())
     assert n_parts >= min(8, spark.sparkContext.defaultParallelism) // 2, \
         f"giant conversation still pinned to {n_parts} partition(s)"
+
+
+def test_named_group_rewrite_is_escape_aware():
+    """_named converts only REAL capturing groups: a regex-escaped
+    literal `\\(` must pass through untouched, and an escaped backslash
+    before a real group must not mask it (round-4 review finding: the
+    blind `\\((?!\\?)` sub corrupted any template with a literal
+    paren)."""
+    from qse_spark.operators.extraction import _named
+    assert _named(r"^(a) \((b)\)$") == r"^(?P<g1>a) \((?P<g2>b)\)$"
+    assert _named(r"(x)(?:y)(z)") == "(?P<g1>x)(?:y)(?P<g2>z)"
+    assert _named(r"\\(q)") == r"\\(?P<g1>q)"
+    # every existing template still compiles and keeps its group count
+    import re as _re
+
+    from qse_spark.operators.extraction import TEMPLATES
+    for t in TEMPLATES:
+        rx = t[2]
+        named = _named(rx)
+        assert _re.compile(named).groups == _re.compile(rx).groups

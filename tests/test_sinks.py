@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import csv
 
+from pyspark.sql import functions as F
+
 from qse_spark import sinks
 from qse_spark.stats import class_counts_df, entity_types_df, shape_stats
 
@@ -157,3 +159,81 @@ def test_runtime_and_sampling_logs(tmp_path):
     s = str(tmp_path / "SAMPLING_LOGS.csv")
     sinks.append_sampling_log(s, "reservoir", 50, 1, 100, 1234)
     assert open(s).read() == "reservoir,50,1,100,1234\n"
+
+
+def _ttl_text(path):
+    """Concatenate every shard of a partitioned TTL output."""
+    import os
+
+    chunks = []
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith((".", "_")):
+                continue
+            with open(os.path.join(root, f)) as fh:
+                chunks.append(fh.read())
+    return "\n".join(chunks)
+
+
+def test_sampled_shnot_uses_relative_rule(spark, tmp_path):
+    """write_reference_outputs(sampled=True, sh_not=True) prunes sh:not
+    wrappers with the reference's RELATIVE complement rule
+    (negativePruning, ShapesExtractor.java:400-404), not the absolute
+    one (round-4 review finding: sampled= was not forwarded to
+    negative_shapes). Ratios here are 0.5, so at (C=0.5, S=100) a
+    conf<=C row with support 60 sits between S*ratio=50 and S=100 —
+    excluded relatively, included absolutely."""
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    rows = [
+        # positive keeper: conf .9 > .5 and 80 > 100*0.5
+        ("http://ex/C", "http://ex/keep", xsd_s, 80, 0.9, 200, 100, 100, 100),
+        # in sh:not under BOTH rules: 10 < 50
+        ("http://ex/C", "http://ex/relonly", xsd_s, 10, 0.1, 200, 100, 100, 100),
+        # the discriminator: 60 >= 50 (rel. excluded), 60 < 100 (abs. kept)
+        ("http://ex/C", "http://ex/absonly", xsd_s, 60, 0.1, 200, 100, 100, 100),
+    ]
+    st = spark.createDataFrame(
+        rows, "class string, property string, obj_type string, "
+        "support long, confidence double, class_count long, "
+        "sampled_class_count long, prop_count long, sampled_prop_count long")
+    cc = st.select("class", "class_count").distinct()
+    paths = sinks.write_reference_outputs(
+        st, cc, str(tmp_path / "Out"), "fx", grid=[(0.5, 100)],
+        sampled=True, sh_not=True)
+    ttl = _ttl_text(paths["QSE_0.5_100"])
+    assert "relonlyC_PS_NotShape" in ttl
+    assert "absonlyC_PS_NotShape" not in ttl
+    assert "keepCShapeProperty" in ttl
+
+
+def test_grid_ttl_matches_pruned_spine_with_type_ps(spark, tmp_path):
+    """Each grid TTL renders exactly the pruned_shapes spine — including
+    the empty-constraints instance-type PS reconstruction (round-4
+    review finding: the sink rebuilt ns/ps without it, so a class whose
+    every type branch fails the confidence threshold lost its type PS
+    in the artifact while keeping it in the P/R spine)."""
+    from qse_spark.constants import TYPE_PREDICATE
+    from qse_spark.shapes import pruned_shapes, read_ttl_shapes
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    rows = [
+        # the class's ONLY type branch fails C=0.5 (conf 0.4)
+        ("http://ex/D", TYPE_PREDICATE, "http://ex/D", 8, 0.4, 20),
+        # a regular property that survives (0.9 > 0.5, 18 > 10)
+        ("http://ex/D", "http://ex/q", xsd_s, 18, 0.9, 20),
+    ]
+    st = spark.createDataFrame(
+        rows, "class string, property string, obj_type string, "
+        "support long, confidence double, class_count long")
+    cc = st.select("class", "class_count").distinct()
+    paths = sinks.write_reference_outputs(
+        st, cc, str(tmp_path / "Out"), "fx", grid=[(0.5, 10)])
+    got = read_ttl_shapes(spark, paths["QSE_0.5_10"]).collect()
+    got_ps = {r.key for r in got if r.kind == "PS"}
+    got_ns = {r.key for r in got if r.kind == "NS"}
+    st_f = (st.withColumn("min_count", F.lit(None).cast("int"))
+            .withColumn("max_count", F.lit(None).cast("int")))
+    ns, ps = pruned_shapes(st_f, 0.5, 10)
+    assert got_ns == {r.target_class for r in ns.collect()}
+    assert got_ps == {r.path for r in ps.collect()}
+    # non-vacuous: the reconstructed type PS is present in BOTH
+    assert TYPE_PREDICATE in got_ps
