@@ -90,20 +90,21 @@ def _named(rx: str) -> str:
     """Capturing groups -> named groups g1..gN (pc.extract_regex returns a
     struct keyed by group NAME; RE2 supports (?P<...>) and lazy `*?`).
 
-    Escape-aware: the scan consumes `\\x` pairs first, so a literal
-    `\\(` is never rewritten (and `\\\\(` — escaped backslash, then a
-    real group — is). No current template has a literal paren, but a
-    blind `\\((?!\\?)` sub would silently corrupt the first one added."""
+    Escape-aware: the scan consumes `\\x` pairs and whole `[...]`
+    character classes first, so a literal `\\(` or a `[(]` is never
+    rewritten (and `\\\\(` — escaped backslash, then a real group —
+    is). No current template has a literal paren, but a blind
+    `\\((?!\\?)` sub would silently corrupt the first one added."""
     i = 0
 
     def repl(m):
         nonlocal i
-        if m.group(1) is not None:  # an escaped char, incl. literal \(
+        if m.group(1) is not None:  # escaped char or character class
             return m.group(1)
         i += 1
         return f"(?P<g{i}>"
 
-    return re.sub(r"(\\.)|\((?!\?)", repl, rx)
+    return re.sub(r"(\\.|\[(?:\\.|[^\]\\])*\])|\((?!\?)", repl, rx)
 
 
 _ARROW_TEMPLATES = [(pred, needle, _named(rx), subj_cls, obj_cls, obj_kind)

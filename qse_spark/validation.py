@@ -184,7 +184,8 @@ def validation_report(triples: DataFrame, confidence: float, support: int,
 
 def sh_not_report(triples: DataFrame, confidence: float, support: int,
                   type_predicate: str = TYPE_PREDICATE,
-                  stats: DataFrame | None = None) -> DataFrame:
+                  stats: DataFrame | None = None,
+                  sampled: bool = False) -> DataFrame:
     """sh:not violation analysis — the NotConstraintComponent half of the
     reference's validator (`QseSHACLValidator.java:103-121` writes these
     to a separate `_NotConstraints.csv` with per-class support/confidence
@@ -207,13 +208,30 @@ def sh_not_report(triples: DataFrame, confidence: float, support: int,
     join fanout (|neg shapes per class| is small by construction — they
     failed the support threshold); cardinality/observed reuse the same
     corpus aggregates as validation_report.
+
+    sampled=True selects the relative complement rule (the one sampled
+    TTL artifacts are pruned with — sinks.write_reference_outputs /
+    negativePruning, ShapesExtractor.java:400-404) so the report
+    describes exactly the wrappers in the emitted file; requires
+    `stats` to be an approx_shape_stats table (sampled_*_count
+    columns).
     """
     etypes = entity_types_df(triples, type_predicate)
     if stats is None:
         stats = _checkpointed_stats(triples, type_predicate)
+    # approx stats carry no cardinality columns — null-fill so the
+    # wrapper property shapes render, mirroring write_reference_outputs
+    for c in ("min_count", "max_count"):
+        if c not in stats.columns:
+            stats = stats.withColumn(c, F.lit(None).cast("int"))
 
-    neg_rows = prune_negative(stats, confidence, support)
-    neg_ps = negative_shapes(stats, confidence, support, type_predicate)
+    if sampled:
+        from .operators.sampling import negative_sampled
+        neg_rows = stats.filter(negative_sampled(confidence, support))
+    else:
+        neg_rows = prune_negative(stats, confidence, support)
+    neg_ps = negative_shapes(stats, confidence, support, type_predicate,
+                             sampled=sampled)
 
     # focus nodes of classes that (a) keep a surviving node shape to hang
     # sh:not off (shapes.ns_support_gate — the pruned_shapes gate) and

@@ -183,7 +183,7 @@ def test_sampled_shnot_uses_relative_rule(spark, tmp_path):
     negative_shapes). Ratios here are 0.5, so at (C=0.5, S=100) a
     conf<=C row with support 60 sits between S*ratio=50 and S=100 —
     excluded relatively, included absolutely."""
-    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    xsd_s = "xsd:string"
     rows = [
         # positive keeper: conf .9 > .5 and 80 > 100*0.5
         ("http://ex/C", "http://ex/keep", xsd_s, 80, 0.9, 200, 100, 100, 100),
@@ -214,7 +214,7 @@ def test_grid_ttl_matches_pruned_spine_with_type_ps(spark, tmp_path):
     in the artifact while keeping it in the P/R spine)."""
     from qse_spark.constants import TYPE_PREDICATE
     from qse_spark.shapes import pruned_shapes, read_ttl_shapes
-    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    xsd_s = "xsd:string"
     rows = [
         # the class's ONLY type branch fails C=0.5 (conf 0.4)
         ("http://ex/D", TYPE_PREDICATE, "http://ex/D", 8, 0.4, 20),

@@ -140,3 +140,33 @@ def test_value_type_is_existential_per_value_node(spark):
     vt2 = {(r["focus"], r["property"], r["obj_type"])
            for r in rep2.filter(F.col("violation") == "valueType").collect()}
     assert vt2 == {("e3", "r", "D")}, vt2
+
+
+def test_sh_not_report_sampled_matches_emitted_wrappers(spark):
+    """sh_not_report(sampled=True) must describe the SAME wrapper set a
+    sampled TTL artifact contains (relative complement rule,
+    negativePruning ShapesExtractor.java:400-404) — the absolute rule
+    would also report wrappers the emitted file does not have (round-4
+    review finding). Ratios are 0.5, so at (C=0.5, S=100) the support-60
+    row is absolute-only: reported without sampled=, gone with it."""
+    xsd_s = "xsd:string"
+    st = spark.createDataFrame(
+        [("http://ex/C", "http://ex/keep", xsd_s, 80, 0.9,
+          200, 100, 100, 100),
+         ("http://ex/C", "http://ex/relonly", xsd_s, 10, 0.1,
+          200, 100, 100, 100),
+         ("http://ex/C", "http://ex/absonly", xsd_s, 60, 0.1,
+          200, 100, 100, 100)],
+        "class string, property string, obj_type string, support long, "
+        "confidence double, class_count long, sampled_class_count long, "
+        "prop_count long, sampled_prop_count long")
+    t = spark.createDataFrame(
+        [("e1", "rdf:type", "http://ex/C", "iri"),
+         ("e1", "http://ex/relonly", "v", "string")],
+        ["subject", "predicate", "object", "obj_kind"])
+    rel = {r.not_shape for r in sh_not_report(
+        t, 0.5, 100, stats=st, sampled=True).collect()}
+    assert rel and all("absonly" not in s for s in rel)
+    assert any("relonlyC_PS_NotShape" in s for s in rel)
+    ab = {r.not_shape for r in sh_not_report(t, 0.5, 100, stats=st).collect()}
+    assert any("absonly" in s for s in ab)  # the discriminator
