@@ -1,0 +1,154 @@
+"""Stats-kernel scaling microbench on a CORPUS-sized triple table.
+
+BENCH_SCALING.md's pipeline pairs feed p5_stats a vocabulary-sized
+aggregate (canonical triples), so its per-stage ratio there is a
+scheduler-latency reading (0.3-0.5), not a statement about the stats
+shuffles at scale. At 100 TB the stats kernel's input — distinct
+(subject, predicate, object) canonical triples — is corpus-proportional:
+billions of rows through the epo aggregation and the epo ⋈ etypes join
+(qse_spark/stats.py shape_stats). This harness times shape_stats itself
+on a synthetic typed world large enough that those two shuffles dominate,
+at 1 vs 4 single-core executor JVMs — same protocol as
+scripts/cc_scaling.py (separate JVMs, tmpfs shuffle dirs + input,
+executor-registration warm-up, best-of-repeats).
+
+World (deterministic, closed-form checkable): N entities in K classes
+(entity i -> class i % K), each with one type triple, three literal
+properties (score/level/flag with 7/5/2 distinct values), and one
+entity-valued `knows` triple to entity (i+1) % N — so every class k's
+knows-objects all have class (k+1) % K: support N/K, confidence 1.0.
+Total input = 5N triples; stats output is K-proportional (N-invariant),
+asserted against the closed form before timing is reported.
+
+Usage:  python scripts/stats_scaling.py [n_entities] [n_classes] [repeats]
+Child:  python scripts/stats_scaling.py --child <n_exec> <N> <K>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+INPUT = "/dev/shm/qse-stats-input"
+
+
+def child(n_exec: int, n_entities: int, n_classes: int) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from qse_spark.session import get_spark
+    from qse_spark.stats import shape_stats
+
+    spark = get_spark(master=f"local-cluster[{n_exec},1,6144]",
+                      app_name=f"stats-scaling-{n_exec}")
+    spark.sparkContext.setLogLevel("ERROR")
+    path = f"{INPUT}/n{n_entities}_k{n_classes}"
+    if not os.path.isdir(path):
+        e = F.format_string("e%09d", F.col("id"))
+        cls = F.format_string("http://x/C%02d",
+                              F.col("id") % n_classes)
+        nxt = F.format_string("e%09d", (F.col("id") + 1) % n_entities)
+        base = spark.range(n_entities)
+        rows = [
+            base.select(e.alias("subject"), F.lit("rdf:type")
+                        .alias("predicate"), cls.alias("object"),
+                        F.lit("iri").alias("obj_kind")),
+            base.select(e.alias("subject"), F.lit("http://x/score")
+                        .alias("predicate"),
+                        (F.col("id") % 7).cast("string").alias("object"),
+                        F.lit("integer").alias("obj_kind")),
+            base.select(e.alias("subject"), F.lit("http://x/level")
+                        .alias("predicate"),
+                        (F.col("id") % 5).cast("string").alias("object"),
+                        F.lit("integer").alias("obj_kind")),
+            base.select(e.alias("subject"), F.lit("http://x/flag")
+                        .alias("predicate"),
+                        (F.col("id") % 2 == 0).cast("string")
+                        .alias("object"),
+                        F.lit("boolean").alias("obj_kind")),
+            base.select(e.alias("subject"), F.lit("http://x/knows")
+                        .alias("predicate"), nxt.alias("object"),
+                        F.lit("iri").alias("obj_kind")),
+        ]
+        df = rows[0]
+        for r in rows[1:]:
+            df = df.unionByName(r)
+        df.repartition(32).write.mode("overwrite").parquet(path)
+    triples = spark.read.parquet(path)
+    # executor registration + codegen warm-up before the clock starts
+    triples.limit(1_000).groupBy("predicate").count().count()
+
+    t0 = time.monotonic()
+    st = shape_stats(triples)
+    got = st.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.when((F.col("property") == "http://x/knows")
+                     & (F.col("confidence") == 1.0), 1)
+              .otherwise(0)).alias("knows_full"),
+        F.max(F.when(F.col("property") == "http://x/knows",
+                     F.col("support"))).alias("knows_sup")).collect()[0]
+    stats_sec = time.monotonic() - t0
+    # closed form: every class has 1 type row (its own class as objType),
+    # score/level (integer), flag (boolean), knows (exactly one obj
+    # class, conf 1.0, support N/K)
+    assert got["rows"] == 5 * n_classes, got
+    assert got["knows_full"] == n_classes, got
+    assert got["knows_sup"] == n_entities // n_classes, got
+    n_triples = 5 * n_entities
+    print(json.dumps({"n_exec": n_exec, "n_entities": n_entities,
+                      "n_classes": n_classes, "triples": n_triples,
+                      "stats_rows": got["rows"],
+                      "stats_sec": round(stats_sec, 3),
+                      "triples_per_sec": round(n_triples / stats_sec, 1)}))
+    spark.stop()
+
+
+def run_level(n_exec: int, n: int, k: int, repeats: int) -> dict:
+    env = dict(os.environ, SPARK_LOCAL_DIRS="/dev/shm/qse-spark-local",
+               QSE_SPARK_DRIVER_MEM="8g")
+    best = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             str(n_exec), str(n), str(k)],
+            env=env, capture_output=True, text=True, timeout=3600,
+            check=True)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith('{"n_exec"')][-1]
+        r = json.loads(line)
+        if best is None or r["stats_sec"] < best["stats_sec"]:
+            best = r
+    return best
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    lo = run_level(1, n, k, repeats)
+    print("LO", json.dumps(lo))
+    hi = run_level(4, n, k, repeats)
+    print("HI", json.dumps(hi))
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / 4
+    report = {"world": {"n_entities": n, "n_classes": k,
+                        "triples": lo["triples"],
+                        "stats_rows": lo["stats_rows"]},
+              "local_low": lo, "local_high": hi,
+              "speedup": round(hi["triples_per_sec"]
+                               / lo["triples_per_sec"], 3),
+              "scaling_efficiency": round(eff, 3),
+              "criterion": ">= 0.8", "pass": eff >= 0.8}
+    with open(os.path.join(REPO, ".stats_scaling.json"), "w") as f:
+        json.dump(report, f)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main()
