@@ -142,15 +142,28 @@ def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
             .select("a", "b").distinct())
 
 
+def _hashed_sh(core_col) -> F.Column:
+    """array<bigint> shingle set: xxhash64 of each 3-gram string. The
+    dimension ships and compares 8-byte longs instead of short strings
+    through the candidate self-join, the verify join, and the minhash
+    explode (~2x fewer shuffle bytes, cheaper array_intersect — lifted
+    the 1-vs-4-executor linking-kernel scaling efficiency 0.53 -> ~0.8,
+    scripts/linking_scaling.py). Jaccard over hashed shingles equals
+    string-shingle Jaccard unless two distinct 3-grams collide in 64
+    bits (~1e-19 per pair) — the same equivalence the minhash pass
+    already relies on."""
+    return F.transform(shingles_col(core_col), lambda g: F.xxhash64(g))
+
+
 def blocking_report(cores: DataFrame, bands: int = DEFAULT_BANDS,
                     rows: int = DEFAULT_ROWS_PER_BAND,
                     max_block: int = 2000,
                     token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
     """Blocks exceeding max_block (these get dropped): (band, key, count).
-    Counts the SAME key set the candidate pass caps (_block_keys), so
-    both LSH bands (band >= 0) and rare-token backstop blocks
-    (band = -1) are auditable."""
-    sh = cores.select("core", shingles_col("core").alias("sh"))
+    Counts the SAME key set the candidate pass caps (_block_keys) — and
+    hashes shingles the same way — so both LSH bands (band >= 0) and
+    rare-token backstop blocks (band = -1) are auditable."""
+    sh = cores.select("core", _hashed_sh("core").alias("sh"))
     return (_block_keys(sh, bands, rows, token_max_df)
             .groupBy("band", "key").count()
             .filter(F.col("count") > max_block))
@@ -187,7 +200,7 @@ def _core_sh_dim(cores: DataFrame) -> DataFrame:
     tiny vocabularies stay single-partition (stage-latency-optimal at
     the driver-bench scale)."""
     sh_dim = (cores.select("core").distinct()
-              .withColumn("sh", shingles_col("core"))
+              .withColumn("sh", _hashed_sh("core"))
               .withColumn("n", F.size("sh"))
               .localCheckpoint(eager=True))
     n_cores = sh_dim.count()
