@@ -146,9 +146,12 @@ def _hashed_sh(core_col) -> F.Column:
     """array<bigint> shingle set: xxhash64 of each 3-gram string. The
     dimension ships and compares 8-byte longs instead of short strings
     through the candidate self-join, the verify join, and the minhash
-    explode (~2x fewer shuffle bytes, cheaper array_intersect — lifted
-    the 1-vs-4-executor linking-kernel scaling efficiency 0.53 -> ~0.8,
-    scripts/linking_scaling.py). Jaccard over hashed shingles equals
+    explode — ~2x fewer shuffle bytes and cheaper array_intersect: the
+    single-executor minhash stage measured 11.1 s -> 4.8 s and the full
+    kernel ~10-25% faster at both executor counts on the
+    scripts/linking_scaling.py worlds (absolute cost, not the
+    1-vs-4 efficiency ratio, which stays exchange-bound — see
+    BENCH_SCALING.md's linking appendix). Jaccard over hashed shingles equals
     string-shingle Jaccard unless two distinct 3-grams collide in 64
     bits (~1e-19 per pair) — the same equivalence the minhash pass
     already relies on."""

@@ -115,6 +115,9 @@ def run_level(n_exec: int, n_pairs: int, repeats: int) -> dict:
 def main() -> None:
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    if repeats < 1 or n_pairs < 1:
+        sys.exit(f"need repeats >= 1 and n_pairs >= 1; got "
+                 f"n_pairs={n_pairs} repeats={repeats}")
     lo = run_level(1, n_pairs, repeats)
     print("LO", json.dumps(lo))
     hi = run_level(4, n_pairs, repeats)

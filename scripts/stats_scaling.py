@@ -129,6 +129,10 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    if repeats < 1 or k < 1 or n % k:
+        sys.exit(f"need repeats >= 1 and n_classes | n_entities "
+                 f"(closed-form check assumes it); got n={n} k={k} "
+                 f"repeats={repeats}")
     lo = run_level(1, n, k, repeats)
     print("LO", json.dumps(lo))
     hi = run_level(4, n, k, repeats)
