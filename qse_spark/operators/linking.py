@@ -53,13 +53,28 @@ def mention_cores(mentions: DataFrame) -> DataFrame:
 
 
 def _band_keys(sh: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(core, band, key) LSH band keys in ONE pass: explode shingles ->
-    H min-hash aggregations -> one explode over an array of band structs
-    (never a self-union, which would recompute the aggregation per band)."""
-    exploded = sh.select("core", F.explode("sh").alias("g"))
-    mins = [F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
-            for i in range(bands * rows)]
-    sig = exploded.groupBy("core").agg(*mins)
+    """(core, band, key) LSH band keys with ZERO exchange: `sh` already
+    holds the per-core shingle array, so every one of the H = bands*rows
+    minhash values is a per-row array_min(transform(...)) projection and
+    the only explode is the 12-element band list. The previous form
+    (explode shingles -> groupBy("core") with H min aggregations)
+    re-shuffled the corpus-sized dimension to aggregate values that are
+    computable row-locally — at 100 TB that exchange is the stage's
+    whole cost (round-4 scaling pass). `sh` is a stored column of the
+    checkpointed dimension, so the H transforms re-read it rather than
+    recompute it (the CollapseProject trap text.py's winnow documents
+    applies to chained COMPUTED arrays, not leaf columns). Key values
+    are bit-identical to the aggregation form: same per-seed minima,
+    same xxhash64 combination."""
+    def _minhash(i: int):
+        # single-arg lambda in its own scope: a two-arg transform lambda
+        # would receive (element, array_index) and shadow the seed
+        return F.array_min(F.transform("sh",
+                                       lambda g: F.xxhash64(g, F.lit(i))))
+
+    mins = [_minhash(i).alias(f"h{i}") for i in range(bands * rows)]
+    # explode(sh) dropped null/empty shingle arrays; keep that contract
+    sig = sh.where(F.size("sh") > 0).select("core", *mins)
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])

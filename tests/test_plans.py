@@ -355,3 +355,18 @@ def test_unit_norm_single_fold_eval(spark):
     # zero vector passes through unscaled
     z = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
     assert with_unit_norm(z).select("_unit").collect()[0][0] == [0.0, 0.0]
+
+
+def test_lsh_band_keys_zero_exchange(spark):
+    """The minhash band-key derivation is a pure projection over the
+    shingle-array dimension — array_min(transform(...)) per seed, no
+    explode -> groupBy re-shuffle of the corpus-sized table (round-4
+    scaling pass; key values proven bit-identical to the aggregation
+    form). Locks the zero-exchange shape."""
+    from qse_spark.functions.columns import shingles_col
+    from qse_spark.operators.linking import _band_keys
+    from qse_spark.plans import explain_str
+    cores = spark.createDataFrame([("acme corp",), ("dr smith",)], ["core"])
+    sh = cores.select("core", shingles_col("core").alias("sh"))
+    s = explain_str(_band_keys(sh, 12, 3))
+    assert "Exchange" not in s, s
