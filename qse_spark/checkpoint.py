@@ -23,7 +23,6 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
 
@@ -82,19 +81,47 @@ def is_satisfied(path: str, conf_hash: str) -> bool:
         return False
 
 
+def _parquet_part_counts(path: str) -> dict[str, int] | None:
+    """Per-part-file row counts read from the parquet FOOTERS — a
+    driver-side metadata read (a few KB per file), never a second
+    executor scan of the stage output (round-4 verdict: at 100 TB the
+    old read-back + groupBy(spark_partition_id) was a full re-read per
+    stage per run). Keys are part-file names, i.e. the TRUE written
+    partitions — the old read-back counted read-split partitions, which
+    depend on maxPartitionBytes, not on what was written. Returns None
+    for non-local URIs (caller records only the total row count there;
+    remote lineage belongs to the table format's own metadata)."""
+    if "://" in path and not path.startswith("file:"):
+        return None
+    local = path[len("file:"):] if path.startswith("file:") else path
+    import pyarrow.parquet as pq
+    counts: dict[str, int] = {}
+    for root, dirs, files in os.walk(local):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in sorted(files):
+            if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            counts[os.path.relpath(fp, local)] = int(
+                pq.ParquetFile(fp).metadata.num_rows)
+    return counts
+
+
 def write_stage(df: DataFrame, path: str, stage: str, conf_hash: str) -> dict:
-    """Materialize a stage: parquet + manifest with per-partition counts."""
+    """Materialize a stage: parquet + manifest with per-partition counts
+    (from footers — the write is the ONLY job this function runs)."""
     t0 = time.time()
     df.write.mode("overwrite").parquet(path)
-    spark = df.sparkSession
-    back = spark.read.parquet(path)
-    per_part = (back.withColumn("_p", F.spark_partition_id())
-                .groupBy("_p").count().collect())
-    part_counts = {int(r["_p"]): int(r["count"]) for r in per_part}
+    part_counts = _parquet_part_counts(path)
+    if part_counts is None:          # remote URI: one count, no lineage map
+        rows = df.sparkSession.read.parquet(path).count()
+        part_counts = {}
+    else:
+        rows = sum(part_counts.values())
     manifest = {
         "stage": stage,
         "config_hash": conf_hash,
-        "rows": int(sum(part_counts.values())),
+        "rows": int(rows),
         "partition_counts": part_counts,
         "wall_sec": round(time.time() - t0, 3),
         "complete": True,

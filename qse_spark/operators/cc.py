@@ -24,6 +24,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..pins import pin, release_df
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor to the neighborhood minimum.
@@ -127,12 +129,17 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     milliseconds instead of O(log n) shuffle rounds); pass 0 to force the
     distributed star rounds.
     """
-    cur = (edges.select("src", "dst")
-           .filter(F.col("src") != F.col("dst"))
-           .distinct().localCheckpoint(eager=True))
+    cur = pin(edges.select("src", "dst")
+              .filter(F.col("src") != F.col("dst"))
+              .distinct())
     prev_fp = _fingerprint(cur)
     if driver_threshold and prev_fp[0] <= driver_threshold:
-        return _driver_cc(cur)
+        # _driver_cc collects; its result is a createDataFrame independent
+        # of the pin, so the blocks are releasable right here (this pin
+        # was one of the lingering RDDs the no-orphaned-cache test caught)
+        out = _driver_cc(cur)
+        release_df(cur)
+        return out
     # small graphs: shrink to a few partitions so each of the O(log n)
     # rounds costs milliseconds instead of a 2x-shuffle-partitions task storm
     npart = max(1, min(cur.sparkSession.sparkContext.defaultParallelism,
@@ -141,8 +148,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     prev_fp = None
     for rnd in range(max_iter):
         t0 = time.monotonic()
-        cur = (_small_star(_large_star(cur)).coalesce(npart)
-               .localCheckpoint(eager=True))
+        prev = cur
+        cur = pin(_small_star(_large_star(cur)).coalesce(npart))
+        # the new round is materialized, so the superseded round's blocks
+        # have no remaining consumer — release them NOW instead of letting
+        # them pile up for the ContextCleaner (O(log n) pins per CC call)
+        release_df(prev)
         t1 = time.monotonic()
         fp = _fingerprint(cur)
         if timing:

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.columns import shingles_col, strip_core_col
+from ..pins import pin
 
 DEFAULT_TAU = 0.55
 DEFAULT_BANDS = 12
@@ -52,20 +53,26 @@ def mention_cores(mentions: DataFrame) -> DataFrame:
         "mention_id", strip_core_col(F.col("mention_id")).alias("core"))
 
 
-def _band_keys(sh: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(core, band, key) LSH band keys with ZERO exchange: `sh` already
-    holds the per-core shingle array, so every one of the H = bands*rows
-    minhash values is a per-row array_min(transform(...)) projection and
-    the only explode is the 12-element band list. The previous form
-    (explode shingles -> groupBy("core") with H min aggregations)
-    re-shuffled the corpus-sized dimension to aggregate values that are
-    computable row-locally — at 100 TB that exchange is the stage's
-    whole cost (round-4 scaling pass). `sh` is a stored column of the
-    checkpointed dimension, so the H transforms re-read it rather than
-    recompute it (the CollapseProject trap text.py's winnow documents
-    applies to chained COMPUTED arrays, not leaf columns). Key values
-    are bit-identical to the aggregation form: same per-seed minima,
-    same xxhash64 combination."""
+def _band_keys_payload(sh: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(core, sh, n, band, key) LSH band keys with ZERO exchange: `sh`
+    already holds the per-core shingle array, so every one of the
+    H = bands*rows minhash values is a per-row array_min(transform(...))
+    projection and the only explode is the 12-element band list. The
+    previous form (explode shingles -> groupBy("core") with H min
+    aggregations) re-shuffled the corpus-sized dimension to aggregate
+    values that are computable row-locally — at 100 TB that exchange is
+    the stage's whole cost (round-4 scaling pass). `sh` is a stored
+    column of the checkpointed dimension, so the H transforms re-read it
+    rather than recompute it (the CollapseProject trap text.py's winnow
+    documents applies to chained COMPUTED arrays, not leaf columns). Key
+    values are bit-identical to the aggregation form: same per-seed
+    minima, same xxhash64 combination.
+
+    The shingle array and its size ride along (round-5 scaling pass):
+    carrying the payload INTO the block-cap window lets the block
+    self-join score Jaccard inline off that same exchange, deleting the
+    candidate-distinct shuffle and both verify-join shuffles that made
+    the stage exchange-bound (standalone efficiency 0.579)."""
     def _minhash(i: int):
         # single-arg lambda in its own scope: a two-arg transform lambda
         # would receive (element, array_index) and shadow the seed
@@ -74,15 +81,23 @@ def _band_keys(sh: DataFrame, bands: int, rows: int) -> DataFrame:
 
     mins = [_minhash(i).alias(f"h{i}") for i in range(bands * rows)]
     # explode(sh) dropped null/empty shingle arrays; keep that contract
-    sig = sh.where(F.size("sh") > 0).select("core", *mins)
+    sig = sh.where(F.size("sh") > 0).select("core", "sh", *mins)
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
                  .alias("key"))
         for b in range(bands)])
-    return (sig.select("core", F.explode(band_structs).alias("bk"))
-            .select("core", F.col("bk.band").alias("band"),
+    return (sig.select("core", "sh", F.explode(band_structs).alias("bk"))
+            .select("core", "sh", F.size("sh").alias("n"),
+                    F.col("bk.band").alias("band"),
                     F.col("bk.key").alias("key")))
+
+
+def _band_keys(sh: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(core, band, key) — thin projection of _band_keys_payload, used by
+    the audit report and the rare-token union so the key SET can never
+    drift from what the fused candidate pass actually blocks on."""
+    return _band_keys_payload(sh, bands, rows).select("core", "band", "key")
 
 
 def _core_tokens(cores: DataFrame) -> DataFrame:
@@ -180,8 +195,14 @@ def blocking_report(cores: DataFrame, bands: int = DEFAULT_BANDS,
     """Blocks exceeding max_block (these get dropped): (band, key, count).
     Counts the SAME key set the candidate pass caps (_block_keys) — and
     hashes shingles the same way — so both LSH bands (band >= 0) and
-    rare-token backstop blocks (band = -1) are auditable."""
-    sh = cores.select("core", _hashed_sh("core").alias("sh"))
+    rare-token backstop blocks (band = -1) are auditable. Cores are
+    deduped first, mirroring _core_sh_dim: callers routinely pass
+    mention_cores output where duplicate cores are the norm, and counting
+    one row per MENTION would inflate block sizes relative to what the
+    candidate pass caps (round-4 advice — flagged-as-dropped blocks that
+    were actually kept)."""
+    sh = (cores.select("core").distinct()
+          .select("core", _hashed_sh("core").alias("sh")))
     return (_block_keys(sh, bands, rows, token_max_df)
             .groupBy("band", "key").count()
             .filter(F.col("count") > max_block))
@@ -217,33 +238,78 @@ def _core_sh_dim(cores: DataFrame) -> DataFrame:
     vocabulary-scaled world), bounded by the cluster's parallelism so
     tiny vocabularies stay single-partition (stage-latency-optimal at
     the driver-bench scale)."""
-    sh_dim = (cores.select("core").distinct()
-              .withColumn("sh", _hashed_sh("core"))
-              .withColumn("n", F.size("sh"))
-              .localCheckpoint(eager=True))
+    sh_dim = pin(cores.select("core").distinct()
+                 .withColumn("sh", _hashed_sh("core"))
+                 .withColumn("n", F.size("sh")))
     n_cores = sh_dim.count()
     npart = max(1, min(cores.sparkSession.sparkContext.defaultParallelism,
                        n_cores // 8_000))
     return sh_dim.coalesce(npart)
 
 
-def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
-                 max_block: int,
-                 token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
-    """Verified fuzzy core pairs from a cached (core, sh, n) table."""
-    cand = _candidate_pairs(sh_dim.select("core", "sh"), bands, rows,
-                            max_block, token_max_df)
-    a_sh = sh_dim.select(F.col("core").alias("a"), F.col("sh").alias("sh_a"),
-                         F.col("n").alias("n_a"))
-    b_sh = sh_dim.select(F.col("core").alias("b"), F.col("sh").alias("sh_b"),
-                         F.col("n").alias("n_b"))
+def _score_blocks(kept: DataFrame, tau: float) -> DataFrame:
+    """Self-join capped (band, key, core, sh, n) block rows and score the
+    exact 3-gram Jaccard INLINE: both join sides are projections of the
+    same exchange (ReuseExchange), so the block join adds zero new
+    shuffles, and only tau-survivors leave the stage. Emits one row per
+    (pair, shared block) — the caller's distinct collapses them (score is
+    a deterministic function of the pair, so distinct-on-(src,dst,score)
+    equals distinct-on-pair)."""
+    a = kept.select("band", "key", F.col("core").alias("a"),
+                    F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    b = kept.select("band", "key", F.col("core").alias("b"),
+                    F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (cand.join(a_sh, "a").join(b_sh, "b")
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("a") < F.col("b"))
             .withColumn("score", jac)
             .filter(F.col("score") >= tau)
             .select(F.col("a").alias("src"), F.col("b").alias("dst"),
                     "score"))
+
+
+def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
+                 max_block: int,
+                 token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
+    """Verified fuzzy core pairs from a cached (core, sh, n) table.
+
+    Round-5 rewrite of the exchange-bound two-phase plan (block -> distinct
+    candidates -> two verify joins; standalone scaling 0.579). The LSH path
+    now carries the shingle payload through the zero-exchange band-key
+    projection, so the ENTIRE path is one wide (band, key) exchange — the
+    block-cap window and the block self-join both consume it via
+    ReuseExchange — plus a distinct over tau-survivors. The wide rows cost
+    ~4x the bytes of thin keys on that one exchange, but delete three
+    candidate/corpus-sized exchanges (candidate distinct + 2 verify join
+    sides), the trade that wins when shuffles cross real executors.
+
+    The rare-token backstop keeps thin keys through its cap (its blocks
+    are df<=token_max_df by construction) and attaches the payload with
+    ONE join against the pinned dimension instead of two verify joins.
+    Cap semantics are unchanged: band=-1 never shares a (band, key)
+    partition with an LSH band, so per-path windows count exactly what
+    the old union window counted, and blocking_report still audits the
+    identical key set (thin _band_keys is a projection of the payload
+    projection — they cannot drift)."""
+    wide = _band_keys_payload(sh_dim.select("core", "sh"), bands, rows)
+    counted = wide.withColumn(
+        "blk_n", F.count("*").over(Window.partitionBy("band", "key")))
+    lsh = _score_blocks(counted.filter(F.col("blk_n") <= max_block)
+                        .drop("blk_n"), tau)
+
+    toks = _core_tokens(sh_dim)
+    rare = _token_df(toks).filter(F.col("df") <= token_max_df)
+    tok_keys = (toks.join(rare, "tok")
+                .select("core", F.lit(-1).alias("band"),
+                        F.xxhash64("tok").alias("key")))
+    tk_counted = tok_keys.withColumn(
+        "blk_n", F.count("*").over(Window.partitionBy("band", "key")))
+    tok_wide = (tk_counted.filter(F.col("blk_n") <= max_block)
+                .drop("blk_n")
+                .join(sh_dim.select("core", "sh", "n"), "core"))
+    tok = _score_blocks(tok_wide, tau)
+    return lsh.unionByName(tok).distinct()
 
 
 def _tfidf_shingle_links(sh_dim: DataFrame, tau: float, bands: int,
@@ -322,7 +388,7 @@ def linking_edges(mentions: DataFrame, tau: float = DEFAULT_TAU,
     # a real checkpoint dir. `cores` is sized like the INPUT mention
     # table — vocabulary-sized when the caller passes deduped mentions
     # (as mentions_from_triples does), occurrence-sized otherwise.
-    cores = mention_cores(mentions).localCheckpoint(eager=True)
+    cores = pin(mention_cores(mentions))
     sh_dim = _core_sh_dim(cores)
     core_node = F.concat(F.lit("\x7f"), F.col("core"))
     proj = cores.select(F.col("mention_id").alias("src"),
@@ -422,7 +488,7 @@ def tfidf_cosine_pairs(docs: DataFrame, tau: float = 0.3,
     # branches (a and b), the prefix path from five — without the pin
     # each branch re-runs the two TF-IDF aggregations over the corpus
     # (review finding: only the prefix path was pinned)
-    wts = wts.localCheckpoint(eager=True)
+    wts = pin(wts)
     a = wts.select(F.col("id").alias("id_a"), "tok",
                    F.col("w").alias("w_a"), F.col("norm").alias("n_a"))
     b = wts.select(F.col("id").alias("id_b"), "tok",

@@ -202,40 +202,57 @@ def run_pipeline(spark: SparkSession, transcripts_path: str,
         return ckpt.stage(spark, os.path.join(workdir, name), name, h, thunk,
                           counters), h
 
-    if cfg.fuse_extract:
-        # per-turn provenance handle: lazy by design (consuming it re-runs
-        # the Arrow extraction UDF) — the fused stage exists precisely so
-        # no occurrence-sized table is ever checkpointed
-        triples = extract_triples(transcripts, salt=cfg.salt)
-        groups, h2 = _stage(
-            "triple_groups", "root", ["salt"],
-            lambda: extract_triple_groups(transcripts, salt=cfg.salt))
-    else:
-        triples, h1 = _stage(
-            "triples", "root", ["salt"],
-            lambda: extract_triples(transcripts, salt=cfg.salt))
-        groups, h2 = _stage("triple_groups", h1, [],
-                            lambda: group_triples(triples))
-    links, h3 = _stage(
-        "links", h2, ["tau", "bands", "rows_per_band", "max_block",
-                      "token_max_df", "scorer"],
-        lambda: linking_edges(
-            mentions_from_triples(groups), tau=cfg.tau, bands=cfg.bands,
-            rows=cfg.rows_per_band, max_block=cfg.max_block,
-            scorer=cfg.scorer, token_max_df=cfg.token_max_df))
-    cmap, h4 = _stage("canonical_map", h3, [],
-                      lambda: canonical_map(links))
-    canon, h5 = _stage("canonical_triples", h4, ["max_broadcast_rows"],
-                       lambda: canonicalize_triples(
-                           groups, cmap,
-                           max_broadcast_rows=cfg.max_broadcast_rows))
-    # the canonical table's cnt column feeds the kernel as a multiplicity
-    # weight — no re-expansion of duplicate triples
-    stats, h6 = _stage(
-        "shape_stats", h5,
-        ["approx", "approx_max_cap", "approx_target_pct",
-         "approx_seed", "approx_bully"],
-        lambda: _stats_for(canon, cfg))
-    return {"triples": triples, "triple_groups": groups, "links": links,
-            "canonical_map": cmap, "canonical_triples": canon,
-            "shape_stats": stats}
+    def _run():
+        if cfg.fuse_extract:
+            # per-turn provenance handle: lazy by design (consuming it
+            # re-runs the Arrow extraction UDF) — the fused stage exists
+            # precisely so no occurrence-sized table is ever checkpointed
+            triples = extract_triples(transcripts, salt=cfg.salt)
+            groups, h2 = _stage(
+                "triple_groups", "root", ["salt"],
+                lambda: extract_triple_groups(transcripts, salt=cfg.salt))
+        else:
+            triples, h1 = _stage(
+                "triples", "root", ["salt"],
+                lambda: extract_triples(transcripts, salt=cfg.salt))
+            groups, h2 = _stage("triple_groups", h1, [],
+                                lambda: group_triples(triples))
+        links, h3 = _stage(
+            "links", h2, ["tau", "bands", "rows_per_band", "max_block",
+                          "token_max_df", "scorer"],
+            lambda: linking_edges(
+                mentions_from_triples(groups), tau=cfg.tau, bands=cfg.bands,
+                rows=cfg.rows_per_band, max_block=cfg.max_block,
+                scorer=cfg.scorer, token_max_df=cfg.token_max_df))
+        cmap, h4 = _stage("canonical_map", h3, [],
+                          lambda: canonical_map(links))
+        canon, h5 = _stage("canonical_triples", h4, ["max_broadcast_rows"],
+                           lambda: canonicalize_triples(
+                               groups, cmap,
+                               max_broadcast_rows=cfg.max_broadcast_rows))
+        # the canonical table's cnt column feeds the kernel as a
+        # multiplicity weight — no re-expansion of duplicate triples
+        stats, h6 = _stage(
+            "shape_stats", h5,
+            ["approx", "approx_max_cap", "approx_target_pct",
+             "approx_seed", "approx_bully"],
+            lambda: _stats_for(canon, cfg))
+        return {"triples": triples, "triple_groups": groups, "links": links,
+                "canonical_map": cmap, "canonical_triples": canon,
+                "shape_stats": stats}
+
+    if workdir is None:
+        # lazy mode: the returned DataFrames still depend on the operator
+        # pins (truncated lineage), so releasing here would break them —
+        # pins stay GC-lifetime-managed as before
+        return _run()
+    # checkpointed mode: every returned stage handle is the parquet
+    # read-back from ckpt.stage, so every localCheckpoint pin created
+    # inside the stage thunks is fully consumed by the time _run returns.
+    # Release them deterministically instead of waiting on py4j GC —
+    # the no-orphaned-cache contract (tests/test_pipeline.py).
+    from .pins import pin_scope, release
+    with pin_scope() as owned:
+        out = _run()
+    release(spark, owned)
+    return out

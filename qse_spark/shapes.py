@@ -728,10 +728,15 @@ def precision_recall(a_keys: DataFrame, b_keys: DataFrame) -> dict:
     (intersect + count); localCheckpoint materializes them without the
     never-unpersisted cache() leak a repeated-call sweep would pile up
     (blocks are ContextCleaner-collected when unreachable)."""
+    from .pins import release_df
     a = a_keys.distinct().localCheckpoint(eager=True)
     b = b_keys.distinct().localCheckpoint(eager=True)
     inter = a.intersect(b).count()
     na, nb = a.count(), b.count()
+    # fully consumed above -> release the blocks before returning instead
+    # of waiting on the ContextCleaner (no-orphaned-cache contract)
+    release_df(a)
+    release_df(b)
     return {"precision": inter / nb if nb else 1.0,
             "recall": inter / na if na else 1.0,
             "intersection": inter, "a": na, "b": nb}

@@ -30,6 +30,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INPUT = "/dev/shm/qse-cc-input"
+# cache-buster: bump whenever the generator changes (round-4 advice)
+GEN_VERSION = 1
 
 
 def child(n_exec: int, nodes: int, chain_len: int) -> None:
@@ -43,7 +45,7 @@ def child(n_exec: int, nodes: int, chain_len: int) -> None:
                       app_name=f"cc-scaling-{n_exec}")
     spark.sparkContext.setLogLevel("ERROR")
     n_chains = nodes // chain_len
-    path = f"{INPUT}/n{nodes}_l{chain_len}"
+    path = f"{INPUT}/n{nodes}_l{chain_len}_v{GEN_VERSION}"
     if not os.path.isdir(path):
         # chain k = nodes {k, k+C, k+2C, ...}: edge (id, id-C) for id >= C
         (spark.range(n_chains, nodes)

@@ -34,6 +34,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INPUT = "/dev/shm/qse-linking-input"
+# cache-buster: bump whenever the generator below changes (round-4 advice —
+# a path keyed only by n_pairs silently reused a stale world after the
+# base-10 -> base-36 alphabet fix)
+GEN_VERSION = 2
 
 
 def child(n_exec: int, n_pairs: int) -> None:
@@ -46,7 +50,7 @@ def child(n_exec: int, n_pairs: int) -> None:
     spark = get_spark(master=f"local-cluster[{n_exec},1,6144]",
                       app_name=f"linking-scaling-{n_exec}")
     spark.sparkContext.setLogLevel("ERROR")
-    path = f"{INPUT}/g{n_pairs}"
+    path = f"{INPUT}/g{n_pairs}_v{GEN_VERSION}"
     if not os.path.isdir(path):
         # base-36 segments of multiplicative scrambles (the first is
         # odd-multiplier bijective mod 2^31, so strings are unique).

@@ -34,6 +34,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INPUT = "/dev/shm/qse-stats-input"
+# cache-buster: bump whenever the generator changes (round-4 advice — a
+# path keyed only by world params silently reuses a stale parquet)
+GEN_VERSION = 1
 
 
 def child(n_exec: int, n_entities: int, n_classes: int) -> None:
@@ -46,7 +49,7 @@ def child(n_exec: int, n_entities: int, n_classes: int) -> None:
     spark = get_spark(master=f"local-cluster[{n_exec},1,6144]",
                       app_name=f"stats-scaling-{n_exec}")
     spark.sparkContext.setLogLevel("ERROR")
-    path = f"{INPUT}/n{n_entities}_k{n_classes}"
+    path = f"{INPUT}/n{n_entities}_k{n_classes}_v{GEN_VERSION}"
     if not os.path.isdir(path):
         e = F.format_string("e%09d", F.col("id"))
         cls = F.format_string("http://x/C%02d",

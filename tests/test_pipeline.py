@@ -234,6 +234,30 @@ def test_ensure_fixture_caches_both_worlds(tmp_path, monkeypatch):
             os.path.join(fx, "transcripts.parquet")).st_mtime_ns == mt
 
 
+def test_write_stage_reads_only_footers(spark, tmp_path, monkeypatch):
+    """write_stage's per-partition lineage comes from the parquet FOOTERS:
+    the stage write must be the only Spark job it runs — the old
+    read-back + groupBy(spark_partition_id) was a second full scan of
+    every stage output per run (round-4 verdict item 6). Patching the
+    reader to raise proves zero re-read; footer counts must still give
+    exact per-written-file lineage."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from qse_spark import checkpoint as ckpt
+
+    df = spark.range(1000).selectExpr("id", "id % 7 as k").repartition(3)
+
+    def _no_read(self, *a, **k):
+        raise AssertionError("write_stage must not re-read its output")
+
+    monkeypatch.setattr(DataFrameReader, "parquet", _no_read)
+    man = ckpt.write_stage(df, str(tmp_path / "st"), "st", "h")
+    assert man["rows"] == 1000
+    pc = man["partition_counts"]
+    assert sum(pc.values()) == 1000 and len(pc) == 3
+    assert all(k.endswith(".parquet") for k in pc)
+
+
 def test_fingerprint_ignores_hidden_and_temp_dirs(tmp_path):
     """A crashed writer's _temporary/.../part-*.parquet (ordinary
     filename, hidden DIRECTORY) must not perturb the input fingerprint:
