@@ -86,19 +86,63 @@ def lsh_signature(emb: DataFrame, dim: int, n_planes: int = 16,
     return emb.withColumn("bucket", bucket)
 
 
+def lsh_probe_buckets(emb: DataFrame, dim: int, n_planes: int = 16,
+                      seed: int = 7, n_probe: int = 1,
+                      col: str = "embedding") -> DataFrame:
+    """Adds `probe_buckets`: the row's exact LSH bucket plus the
+    (n_probe - 1) Hamming-1 neighbor buckets obtained by flipping the
+    planes with the SMALLEST |margin| — classic multi-probe LSH (Lv et
+    al., VLDB'07): a near-boundary plane is the one most likely to
+    disagree between a query and its true neighbor, so flipping it
+    recovers most of the recall that single-probe loses at high
+    n_planes. Native expressions only; the n_planes dot products are
+    bound once in a struct (transform-over-1-element-array binding, the
+    same evaluation-count trap with_unit_norm documents) so building the
+    probe list never re-evaluates a margin."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    margins = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = _dot(F.col(col), plane)
+        bit = F.when(d > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(1 << i))
+        margins.append(F.struct(F.abs(d).alias("m"),
+                                F.lit(1 << i).cast("long").alias("mask")))
+    flips = max(0, min(n_probe - 1, n_planes))
+
+    def _probes(s):
+        near = F.slice(F.array_sort(s["ms"]), 1, flips)
+        return F.concat(
+            F.array(s["b"]),
+            F.transform(near, lambda t: s["b"].bitwiseXOR(t["mask"])))
+
+    pb = F.element_at(
+        F.transform(F.array(F.struct(bucket.alias("b"),
+                                     F.array(*margins).alias("ms"))),
+                    _probes), 1)
+    return emb.withColumn("probe_buckets", pb)
+
+
 def lsh_ann_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-                 n_planes: int = 10, seed: int = 7,
+                 n_planes: int = 10, seed: int = 7, n_probe: int = 1,
                  id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket; exact
-    cosine re-ranks within the bucket. Recall vs brute force is tested in
-    tests/test_training_ops.py; raise recall by lowering n_planes or adding
-    multi-probe buckets."""
+    """Approximate top-k: candidates share one of the query's `n_probe`
+    LSH probe buckets (exact bucket first, then smallest-margin Hamming-1
+    flips — see lsh_probe_buckets); exact cosine re-ranks candidates.
+    Recall vs brute force is tested in tests/test_training_ops.py, with
+    multi-probe asserted >= single-probe; raise recall by lowering
+    n_planes or raising n_probe (candidate volume grows ~linearly in
+    n_probe, vs exponentially when lowering n_planes). The corpus side
+    keeps its single exact bucket, so each (query, vec) candidate arises
+    at most once — no post-join dedup shuffle."""
     e = lsh_signature(with_unit_norm(emb), dim, n_planes, seed)
-    q = lsh_signature(with_unit_norm(queries), dim, n_planes, seed)
+    q = lsh_probe_buckets(with_unit_norm(queries), dim, n_planes, seed,
+                          n_probe)
     e = e.select(F.col(id_col).alias("vec_id"), F.col("_unit").alias("v"),
                  "bucket")
     q = q.select(F.col(id_col).alias("query_id"), F.col("_unit").alias("qv"),
-                 "bucket")
+                 F.explode("probe_buckets").alias("bucket"))
     scored = (e.join(F.broadcast(q), "bucket")
               .filter(F.col("vec_id") != F.col("query_id"))
               .withColumn("cosine", _dot(F.col("v"), F.col("qv")))

@@ -24,7 +24,10 @@ At 10^12 turns the deltas stay vocabulary-sized per batch (the Arrow
 channel already carries per-batch aggregates, extraction.py), so the
 store grows with batches x vocabulary, not with turns; compaction cost
 is one shuffle over the delta store, and a periodic compact_to_base
-rewrite (or an Iceberg MERGE where available) bounds it.
+rewrite bounds it (on Iceberg, sources.tables.merge_into_groups is the
+row-level equivalent — MERGE INTO with snapshot-isolated atomic commit,
+equivalence asserted in tests/test_iceberg.py when the runtime jar is
+present).
 
 No reference counterpart (QSE is single-pass batch); required by the
 north star's continuous-ingestion reading of "resumes mid-pipeline".

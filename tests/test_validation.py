@@ -170,3 +170,77 @@ def test_sh_not_report_sampled_matches_emitted_wrappers(spark):
     assert any("relonlyC_PS_NotShape" in s for s in rel)
     ab = {r.not_shape for r in sh_not_report(t, 0.5, 100, stats=st).collect()}
     assert any("absonly" in s for s in ab)  # the discriminator
+
+
+def test_cross_engine_shacl_mini_validator(spark, tmp_path):
+    """Cross-engine V2 check (round-4 verdict missing #2): the relational
+    validation_report vs qse_spark.shaclcheck — an independent pure-Python
+    per-focus-node SHACL-core interpreter over the EMITTED shapes TTL
+    artifact (the pyshacl/Jena stand-in; neither is installable in this
+    environment). Shapes are extracted from the reference's own
+    example_data.ttl (the file QseSHACLValidator.java:70-134 validates),
+    violations are planted in a mutated corpus, and the two engines must
+    report the identical violation set. sh:in shapes (the instance-type
+    property) are excluded per shaclcheck's documented deltas."""
+    import glob
+
+    from qse_spark import shaclcheck
+    from qse_spark.shapes import pruned_shapes, write_ttl
+    from qse_spark.sources import read_turtle
+    from qse_spark.sources.turtle import RDF_TYPE
+    from qse_spark.stats import shape_stats
+
+    conf, supp = 0.25, 1
+    orig = read_turtle(spark, "/root/reference/validation/example/"
+                              "example_data.ttl")
+    stats = shape_stats(orig, type_predicate=RDF_TYPE).localCheckpoint()
+    ns, ps = pruned_shapes(stats, conf, supp, type_predicate=RDF_TYPE)
+    out = str(tmp_path / "shapes_ttl")
+    write_ttl(ns.coalesce(1), ps.coalesce(1), out)
+    ttl = "".join(open(p).read()
+                  for p in sorted(glob.glob(f"{out}/part-*")))
+
+    rows = [(r["subject"], r["predicate"], r["object"], r["obj_kind"])
+            for r in orig.collect()]
+    S = "http://schema.org/"
+    E = "http://example.org/ns#"
+    mutated = [t for t in rows
+               # planted minCount: Bob loses his address (min_count 1)
+               if not (t[0] == f"{E}Bob" and t[1] == f"{S}address")] + [
+        # planted maxCount: Alice gets a second distinct birthDate
+        (f"{E}Alice", f"{S}birthDate", "1999-01-01", "date"),
+        # planted valueType (literal): integer givenName vs xsd:string
+        (f"{E}Bob", f"{S}givenName", "42", "integer"),
+        # planted valueType (IRI on a datatype-only branch): obj_type
+        # resolves to the undefined sentinel in both engines
+        (f"{E}Alice", f"{S}deathDate", f"{E}SomewhereElse", "iri"),
+    ]
+    mdf = spark.createDataFrame(
+        mutated, ["subject", "predicate", "object", "obj_kind"])
+
+    got_spark = {
+        (r["focus"], r["target_class"], r["property"], r["violation"],
+         r["obj_type"], int(r["cnt"]) if r["cnt"] is not None else None)
+        for r in validation_report(mdf, conf, supp,
+                                   type_predicate=RDF_TYPE,
+                                   stats=stats).collect()
+        if r["property"] != RDF_TYPE}
+    got_mini = {
+        (f, c, p, v, o, n)
+        for (f, c, p, v, o, n) in shaclcheck.validate(
+            ttl, mutated, type_predicate=RDF_TYPE)
+        if v != "inList" and p != RDF_TYPE}
+
+    assert got_mini == got_spark, (
+        f"mini-only: {got_mini - got_spark}\n"
+        f"spark-only: {got_spark - got_mini}")
+    # planted violations all surfaced (not a vacuous equality)
+    kinds = {v for (_, _, _, v, _, _) in got_spark}
+    assert kinds == {"minCount", "maxCount", "valueType"}, got_spark
+
+    # self-validation sanity: both engines are clean on the untouched data
+    clean_spark = validation_report(
+        orig, conf, supp, type_predicate=RDF_TYPE, stats=stats).count()
+    clean_mini = {t for t in shaclcheck.validate(
+        ttl, rows, type_predicate=RDF_TYPE) if t[3] != "inList"}
+    assert clean_spark == 0 and clean_mini == set()
