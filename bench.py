@@ -66,6 +66,8 @@ def main():
     # the scan parallelizes without a pre-shuffle; conversation salting is
     # exercised by tests and stays available for skewed production inputs
     cfg = PipelineConfig(salt=0)
+    cc_distributed = bool(os.environ.get("QSE_BENCH_CC_DISTRIBUTED"))
+    approx_mode = bool(os.environ.get("QSE_BENCH_APPROX"))
 
     in_path = os.path.join(fx, "transcripts.parquet")
     if replicate >= 1:
@@ -139,7 +141,12 @@ def main():
         s["p2_linking"] = time.time() - t
 
         t = time.time()
-        cmap = canonical_map(links).persist()
+        # QSE_BENCH_CC_DISTRIBUTED=1 forces the large/small-star rounds
+        # even under the 500K-edge hybrid threshold, so the e2e scaling
+        # evidence can include real distributed CC (round-4 verdict #8)
+        cmap = canonical_map(
+            links,
+            driver_threshold=0 if cc_distributed else 500_000).persist()
         n_mentions = cmap.count()
         s["p3_cc"] = time.time() - t
 
@@ -149,7 +156,13 @@ def main():
         s["p4_canonicalize"] = time.time() - t
 
         t = time.time()
-        stats = shape_stats(canon)
+        # QSE_BENCH_APPROX=1 benches the QSE-Approximate entry point
+        # (A1-A6 sampling path) instead of exact stats (round-4 verdict #9)
+        if approx_mode:
+            from qse_spark.operators.sampling import approx_shape_stats
+            stats = approx_shape_stats(canon)
+        else:
+            stats = shape_stats(canon)
         n_stats = stats.count()
         s["p5_stats"] = time.time() - t
         e2e = time.time() - t0
@@ -179,8 +192,11 @@ def main():
             "metric": "kg_pipeline_e2e", "value": round(e2e, 3),
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in q.items()},
+            "protocol": "floor",
+            "n_runs": {"pipeline": pipe_runs},
             "sf": sf_tag, "cpus": cpus, "replicate": replicate,
             "vocab_mult": vocab_mult,
+            "cc_distributed": cc_distributed, "approx": approx_mode,
             "rows": {"turns": n_turns, "raw_triples": n_triples,
                      "mentions": n_mentions, "canonical_triples": n_canon,
                      "stats_rows": n_stats},
@@ -248,6 +264,12 @@ def main():
         "value": round(e2e, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in q.items()},
+        # every recorded number is a FLOOR, not a draw (round-4 verdict
+        # item: a co-tenant VM freeze once printed a fake regression):
+        # the pipeline row is the best complete pass of n_runs.pipeline,
+        # each operator row the min of n_runs.operator_queries
+        "protocol": "floor",
+        "n_runs": {"pipeline": pipe_runs, "operator_queries": 3},
         "sf": sf_tag,
         "cpus": cpus,
         "replicate": replicate,

@@ -29,7 +29,12 @@ def strip_core_col(col):
 
 
 def shingles_col(col, n: int = 3):
-    """Distinct character n-gram shingles of a string column."""
-    return F.array_distinct(F.expr(
-        f"transform(sequence(0, greatest(length({col}) - {n}, 0)), "
-        f"i -> substring({col}, i + 1, {n}))"))
+    """Distinct character n-gram shingles of a string column or
+    expression. Pure column API (no F.expr name-string), so it composes
+    with higher-order-function lambda variables — linking's block-local
+    shingle recomputation maps it over an array of cores. Values are
+    bit-identical to the earlier expr-string form."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(0), F.greatest(F.length(c) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(c, i + 1, F.lit(n))))

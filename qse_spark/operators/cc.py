@@ -177,15 +177,18 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     return stars.unionByName(roots)
 
 
-def canonical_map(edges: DataFrame, node_filter=None) -> DataFrame:
+def canonical_map(edges: DataFrame, node_filter=None,
+                  driver_threshold: int = 500_000) -> DataFrame:
     """links -> (mention_id, canonical_id).
 
     The linking stage namespaces synthetic core nodes with a '\\x7f' prefix;
     they participate in CC but are dropped here, and the canonical id is the
     minimum REAL mention id of the component (gold rule; idempotent:
-    canon(canon(x)) == canon(x)).
+    canon(canon(x)) == canon(x)). `driver_threshold` passes through to
+    connected_components (0 forces the distributed star rounds — the
+    bench-scaling knob).
     """
-    comp = connected_components(edges)
+    comp = connected_components(edges, driver_threshold=driver_threshold)
     real = comp.filter(~F.col("node").startswith("\x7f"))
     rep = (real.groupBy("component")
            .agg(F.min("node").alias("canonical_id")))

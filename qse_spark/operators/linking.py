@@ -247,26 +247,14 @@ def _core_sh_dim(cores: DataFrame) -> DataFrame:
     return sh_dim.coalesce(npart)
 
 
-def _score_blocks(kept: DataFrame, tau: float) -> DataFrame:
-    """Self-join capped (band, key, core, sh, n) block rows and score the
-    exact 3-gram Jaccard INLINE: both join sides are projections of the
-    same exchange (ReuseExchange), so the block join adds zero new
-    shuffles, and only tau-survivors leave the stage. Emits one row per
-    (pair, shared block) — the caller's distinct collapses them (score is
-    a deterministic function of the pair, so distinct-on-(src,dst,score)
-    equals distinct-on-pair)."""
-    a = kept.select("band", "key", F.col("core").alias("a"),
-                    F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
-    b = kept.select("band", "key", F.col("core").alias("b"),
-                    F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (a.join(b, ["band", "key"])
-            .filter(F.col("a") < F.col("b"))
-            .withColumn("score", jac)
-            .filter(F.col("score") >= tau)
-            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
-                    "score"))
+# verify-join broadcast guard: the shingle dimension is vocabulary-sized
+# (distinct cores x ~150 B). Up to this many cores it is broadcast to both
+# verify joins — removing two shuffle sides AND the candidate-table
+# re-exchanges, the round-4 linking stage's scaling tail — while larger
+# vocabularies keep the sort-merge join (an unconditional hint at 10^9
+# mentions would be a driver OOM, the same reasoning as
+# pipeline.canonicalize_triples' dictionary guard).
+VERIFY_BROADCAST_MAX_CORES = 500_000
 
 
 def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
@@ -274,42 +262,38 @@ def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
                  token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
     """Verified fuzzy core pairs from a cached (core, sh, n) table.
 
-    Round-5 rewrite of the exchange-bound two-phase plan (block -> distinct
-    candidates -> two verify joins; standalone scaling 0.579). The LSH path
-    now carries the shingle payload through the zero-exchange band-key
-    projection, so the ENTIRE path is one wide (band, key) exchange — the
-    block-cap window and the block self-join both consume it via
-    ReuseExchange — plus a distinct over tau-survivors. The wide rows cost
-    ~4x the bytes of thin keys on that one exchange, but delete three
-    candidate/corpus-sized exchanges (candidate distinct + 2 verify join
-    sides), the trade that wins when shuffles cross real executors.
-
-    The rare-token backstop keeps thin keys through its cap (its blocks
-    are df<=token_max_df by construction) and attaches the payload with
-    ONE join against the pinned dimension instead of two verify joins.
-    Cap semantics are unchanged: band=-1 never shares a (band, key)
-    partition with an LSH band, so per-path windows count exactly what
-    the old union window counted, and blocking_report still audits the
-    identical key set (thin _band_keys is a projection of the payload
-    projection — they cannot drift)."""
-    wide = _band_keys_payload(sh_dim.select("core", "sh"), bands, rows)
-    counted = wide.withColumn(
-        "blk_n", F.count("*").over(Window.partitionBy("band", "key")))
-    lsh = _score_blocks(counted.filter(F.col("blk_n") <= max_block)
-                        .drop("blk_n"), tau)
-
-    toks = _core_tokens(sh_dim)
-    rare = _token_df(toks).filter(F.col("df") <= token_max_df)
-    tok_keys = (toks.join(rare, "tok")
-                .select("core", F.lit(-1).alias("band"),
-                        F.xxhash64("tok").alias("key")))
-    tk_counted = tok_keys.withColumn(
-        "blk_n", F.count("*").over(Window.partitionBy("band", "key")))
-    tok_wide = (tk_counted.filter(F.col("blk_n") <= max_block)
-                .drop("blk_n")
-                .join(sh_dim.select("core", "sh", "n"), "core"))
-    tok = _score_blocks(tok_wide, tau)
-    return lsh.unionByName(tok).distinct()
+    Round-5 note on the verify shape (round-4 standalone scaling 0.579):
+    three rewrites were built and MEASURED against this plan before
+    keeping it — (a) shingle payload carried through the cap window with
+    inline self-join scoring, (b) collect_list blocks with in-array pair
+    generation + scoring, (c) streaming candidates with a zero-join
+    pure-projection verify that recomputes shingles from the core
+    strings. All three lost: (a)/(b) pay per-block array machinery and a
+    sort-based collect aggregation that cost more CPU than the exchanges
+    they save at every scale tried (pathological at 2M cores, where the
+    window's thin sort became a wide sort), and (c) re-derives string
+    shingling per candidate that the cached dimension computes once per
+    CORE (measured 8.2 s -> 13.1 s warm on the 400K-mention world). What
+    actually removes the exchange tail with no CPU trade is the
+    size-guarded broadcast of the vocabulary-sized dimension below."""
+    cand = _candidate_pairs(sh_dim.select("core", "sh"), bands, rows,
+                            max_block, token_max_df)
+    # one cheap count against the eagerly-checkpointed dimension
+    bcast = sh_dim.count() <= VERIFY_BROADCAST_MAX_CORES
+    hint = F.broadcast if bcast else (lambda d: d)
+    a_sh = hint(sh_dim.select(F.col("core").alias("a"),
+                              F.col("sh").alias("sh_a"),
+                              F.col("n").alias("n_a")))
+    b_sh = hint(sh_dim.select(F.col("core").alias("b"),
+                              F.col("sh").alias("sh_b"),
+                              F.col("n").alias("n_b")))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (cand.join(a_sh, "a").join(b_sh, "b")
+            .withColumn("score", jac)
+            .filter(F.col("score") >= tau)
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                    "score"))
 
 
 def _tfidf_shingle_links(sh_dim: DataFrame, tau: float, bands: int,

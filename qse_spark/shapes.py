@@ -565,7 +565,10 @@ def render_ttl_rows(nodes_props) -> list[str]:
     # node shape -> its property shapes via sh:property, matching the
     # reference model (ShapesExtractor.java:445 adds SHACL.PROPERTY per
     # prop shape); without the links a SHACL processor has no way to
-    # attach the emitted property shapes to their node shape
+    # attach the emitted property shapes to their node shape. write_ttl
+    # pre-joins the links onto the node rows ("prop_shapes") so sharding
+    # never splits a node from its props; direct callers of this renderer
+    # fall back to grouping the in-call prop rows.
     by_class: dict[str, list[str]] = {}
     for r in props:
         by_class.setdefault(r["target_class"], []).append(r["prop_shape"])
@@ -573,8 +576,8 @@ def render_ttl_rows(nodes_props) -> list[str]:
     for r in nodes:
         lines = [f"<{r['node_shape']}> a sh:NodeShape ;",
                  f"  sh:targetClass {_iri(r['target_class'])} ;"]
-        lines.extend(f"  sh:property <{ps}> ;"
-                     for ps in sorted(by_class.get(r["target_class"], [])))
+        links = r.get("prop_shapes") or by_class.get(r["target_class"], [])
+        lines.extend(f"  sh:property <{ps}> ;" for ps in sorted(links))
         lines.extend(_example_lines(r))
         lines[-1] = lines[-1].rstrip(" ;") + " ."
         chunks.append("\n".join(lines) + "\n")
@@ -595,21 +598,20 @@ def write_ttl(nodes: DataFrame, props: DataFrame, path: str,
     (prefix header + shape blocks). Scales with partitions; for small outputs
     coalesce(1) first. `neg_props` (from negative_shapes) renders sh:not
     wrapper blocks."""
-    both = (nodes.select("target_class", F.lit("N").alias("k"),
+    # pre-join each node's sh:property link list onto its own row (left
+    # join: a node shape may legitimately have zero surviving prop
+    # shapes), so a shard always renders complete node blocks no matter
+    # how rows are partitioned — both tables are vocabulary-sized
+    links = (props.groupBy("target_class")
+             .agg(F.collect_list("prop_shape").alias("prop_shapes")))
+    nodes = nodes.join(links, "target_class", "left")
+    both = (nodes.select(F.lit("N").alias("k"),
                          F.to_json(F.struct("*")).alias("j"))
-            .unionByName(props.select("target_class", F.lit("P").alias("k"),
+            .unionByName(props.select(F.lit("P").alias("k"),
                                       F.to_json(F.struct("*")).alias("j"))))
     if neg_props is not None:
         both = both.unionByName(neg_props.select(
-            "target_class", F.lit("G").alias("k"),
-            F.to_json(F.struct("*")).alias("j")))
-    # a node shape's sh:property links are rendered from the prop rows in
-    # the SAME shard, so shards must be class-complete: co-partition every
-    # rendered row by target class, keeping the caller's output sharding
-    # (coalesce(1) callers still get one document; shape sets are
-    # vocabulary-sized, so this exchange is tiny)
-    npart = max(1, nodes.rdd.getNumPartitions())
-    both = both.repartition(npart, "target_class").drop("target_class")
+            F.lit("G").alias("k"), F.to_json(F.struct("*")).alias("j")))
 
     def _render(batches):
         import json as _json

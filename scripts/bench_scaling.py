@@ -65,11 +65,13 @@ STAGES = ["p1_extract_group", "p2_linking", "p3_cc", "p4_canonicalize",
 
 
 def scale_pair(n_turns: int, sf_dir: str, replicate: int,
-               vocab: int = 1) -> dict:
-    """One N-vs-4N measurement pair -> report dict with per-stage split."""
+               vocab: int = 1, repeats: int = 3) -> dict:
+    """One N-vs-4N measurement pair -> report dict with per-stage split.
+    repeats=1 is appropriate when each pass is minutes long (far above
+    the sandbox's tens-of-seconds stall scale)."""
     lo, hi = 1, 4                      # executors (x1 core each): N vs 4N
-    r_lo = run(lo, n_turns, sf_dir, replicate, vocab=vocab)
-    r_hi = run(hi, n_turns, sf_dir, replicate, vocab=vocab)
+    r_lo = run(lo, n_turns, sf_dir, replicate, repeats=repeats, vocab=vocab)
+    r_hi = run(hi, n_turns, sf_dir, replicate, repeats=repeats, vocab=vocab)
     thr_lo = r_lo["throughput"]["turns_per_sec"]
     thr_hi = r_hi["throughput"]["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
