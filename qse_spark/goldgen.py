@@ -291,6 +291,28 @@ def _buckets(vec_ids, embs, dim: int, n_planes: int, seed: int):
     return out
 
 
+def _probe_sets(vec_ids, embs, dim: int, n_planes: int, seed: int,
+                n_probe: int):
+    """Twin of similarity.lsh_probe_buckets: exact bucket + the
+    (n_probe-1) Hamming-1 flips of the smallest-|margin| planes, ties by
+    plane mask ascending — the same (|margin|, mask) struct order
+    array_sort applies, over the identical _fold_dot margins."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    out = {}
+    for vid, e in zip(vec_ids, embs):
+        b, margins = 0, []
+        for i in range(n_planes):
+            d = _fold_dot(e, planes[i])
+            if d > 0:
+                b |= 1 << i
+            margins.append((abs(d), 1 << i))
+        margins.sort()
+        out[vid] = [b] + [b ^ mask
+                          for _, mask in margins[:max(0, n_probe - 1)]]
+    return out
+
+
 def _units(vec_ids, embs):
     out = {}
     for vid, e in zip(vec_ids, embs):
@@ -302,15 +324,17 @@ def _units(vec_ids, embs):
 
 def gold_lsh_ann_topk(vec_ids, embs, dim: int = 64, k: int = 10,
                       n_planes: int = 8, seed: int = 7,
-                      query_max: int = 5) -> pa.Table:
+                      query_max: int = 5, n_probe: int = 1) -> pa.Table:
     buckets = _buckets(vec_ids, embs, dim, n_planes, seed)
+    probes = _probe_sets(vec_ids, embs, dim, n_planes, seed, n_probe)
     units = _units(vec_ids, embs)
     queries = [v for v in vec_ids if v < query_max]
     qi, vi, rk, cs = [], [], [], []
     for q in sorted(queries):
+        qprobes = set(probes[q])
         scored = []
         for v in vec_ids:
-            if v == q or buckets[v] != buckets[q]:
+            if v == q or buckets[v] not in qprobes:
                 continue
             scored.append((-_fold_dot(units[v], units[q]), v))
         scored.sort()
@@ -690,7 +714,7 @@ def gold_winnow(docs: list[tuple[int, str]], k: int = 8,
 
 # ------------------------------------------------------------ orchestration
 
-_GOLD_VERSION = 11
+_GOLD_VERSION = 12
 
 
 def ensure_training_gold(sf_dir: str) -> str:
@@ -728,6 +752,9 @@ def ensure_training_gold(sf_dir: str) -> str:
                    os.path.join(out_dir, "simhash_clusters.parquet"))
     pq.write_table(gold_lsh_ann_topk(vec_ids, embs, dim=64, k=10, n_planes=8),
                    os.path.join(out_dir, "lsh_ann_topk.parquet"))
+    pq.write_table(gold_lsh_ann_topk(vec_ids, embs, dim=64, k=10,
+                                     n_planes=8, n_probe=3),
+                   os.path.join(out_dir, "lsh_mp_ann_topk.parquet"))
     pq.write_table(gold_cosine_near_dup(vec_ids, embs, tau=0.9, dim=64),
                    os.path.join(out_dir, "cosine_near_dup.parquet"))
     pq.write_table(gold_ivf_topk(vec_ids, embs, k=10, n_centroids=16,

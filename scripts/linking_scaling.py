@@ -77,6 +77,24 @@ def child(n_exec: int, n_pairs: int) -> None:
     mentions.limit(1_000).groupBy("mention_id").count().count()
 
     t0 = time.monotonic()
+    phases = {}
+    if os.environ.get("QSE_LINK_TIMING"):
+        # diagnostic split (adds one extra evaluation of each prefix):
+        # where does the 1-vs-4 efficiency die — dimension build,
+        # candidate generation, or verify?
+        from qse_spark.operators.linking import (_candidate_pairs,
+                                                 _core_sh_dim,
+                                                 mention_cores)
+        tp = time.monotonic()
+        sh_dim = _core_sh_dim(mention_cores(mentions))
+        n_cores = sh_dim.count()
+        phases["dim_sec"] = round(time.monotonic() - tp, 3)
+        tp = time.monotonic()
+        n_cand = _candidate_pairs(sh_dim.select("core", "sh"), 12, 3,
+                                  2000).count()
+        phases["cand_sec"] = round(time.monotonic() - tp, 3)
+        phases["n_cores"], phases["n_cand"] = n_cores, n_cand
+        t0 = time.monotonic()
     links = link_mentions(mentions, tau=0.7)
     got = links.agg(
         F.count("*").alias("n"),
@@ -94,7 +112,8 @@ def child(n_exec: int, n_pairs: int) -> None:
     print(json.dumps({"n_exec": n_exec, "n_pairs": n_pairs,
                       "mentions": n_mentions, "links": got["n"],
                       "link_sec": round(link_sec, 3),
-                      "mentions_per_sec": round(n_mentions / link_sec, 1)}))
+                      "mentions_per_sec": round(n_mentions / link_sec, 1),
+                      **phases}))
     spark.stop()
 
 
