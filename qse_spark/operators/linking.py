@@ -53,26 +53,21 @@ def mention_cores(mentions: DataFrame) -> DataFrame:
         "mention_id", strip_core_col(F.col("mention_id")).alias("core"))
 
 
-def _band_keys_payload(sh: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(core, sh, n, band, key) LSH band keys with ZERO exchange: `sh`
-    already holds the per-core shingle array, so every one of the
-    H = bands*rows minhash values is a per-row array_min(transform(...))
-    projection and the only explode is the 12-element band list. The
-    previous form (explode shingles -> groupBy("core") with H min
-    aggregations) re-shuffled the corpus-sized dimension to aggregate
-    values that are computable row-locally — at 100 TB that exchange is
-    the stage's whole cost (round-4 scaling pass). `sh` is a stored
-    column of the checkpointed dimension, so the H transforms re-read it
-    rather than recompute it (the CollapseProject trap text.py's winnow
-    documents applies to chained COMPUTED arrays, not leaf columns). Key
-    values are bit-identical to the aggregation form: same per-seed
-    minima, same xxhash64 combination.
-
-    The shingle array and its size ride along (round-5 scaling pass):
-    carrying the payload INTO the block-cap window lets the block
-    self-join score Jaccard inline off that same exchange, deleting the
-    candidate-distinct shuffle and both verify-join shuffles that made
-    the stage exchange-bound (standalone efficiency 0.579)."""
+def _band_keys(sh: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(cid, band, key) LSH band keys with ZERO exchange: `sh` already
+    holds the per-core shingle array, so every one of the H = bands*rows
+    minhash values is a per-row array_min(transform(...)) projection and
+    the only explode is the 12-element band list. The previous form
+    (explode shingles -> groupBy("core") with H min aggregations)
+    re-shuffled the corpus-sized dimension to aggregate values that are
+    computable row-locally — at 100 TB that exchange is the stage's
+    whole cost (round-4 scaling pass). `sh` is a stored column of the
+    checkpointed dimension, so the H transforms re-read it rather than
+    recompute it (the CollapseProject trap text.py's winnow documents
+    applies to chained COMPUTED arrays, not leaf columns). Key values
+    are bit-identical to the aggregation form: same per-seed minima,
+    same xxhash64 combination. The core rides as its 8-byte id (see
+    _block_keys)."""
     def _minhash(i: int):
         # single-arg lambda in its own scope: a two-arg transform lambda
         # would receive (element, array_index) and shadow the seed
@@ -81,31 +76,25 @@ def _band_keys_payload(sh: DataFrame, bands: int, rows: int) -> DataFrame:
 
     mins = [_minhash(i).alias(f"h{i}") for i in range(bands * rows)]
     # explode(sh) dropped null/empty shingle arrays; keep that contract
-    sig = sh.where(F.size("sh") > 0).select("core", "sh", *mins)
+    sig = sh.where(F.size("sh") > 0).select(
+        F.xxhash64("core").alias("cid"), *mins)
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
                  .alias("key"))
         for b in range(bands)])
-    return (sig.select("core", "sh", F.explode(band_structs).alias("bk"))
-            .select("core", "sh", F.size("sh").alias("n"),
-                    F.col("bk.band").alias("band"),
+    return (sig.select("cid", F.explode(band_structs).alias("bk"))
+            .select("cid", F.col("bk.band").alias("band"),
                     F.col("bk.key").alias("key")))
 
 
-def _band_keys(sh: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(core, band, key) — thin projection of _band_keys_payload, used by
-    the audit report and the rare-token union so the key SET can never
-    drift from what the fused candidate pass actually blocks on."""
-    return _band_keys_payload(sh, bands, rows).select("core", "band", "key")
-
-
 def _core_tokens(cores: DataFrame) -> DataFrame:
-    """Distinct (core, tok) full-token rows — THE tokenization of the
+    """Distinct (cid, tok) full-token rows — THE tokenization of the
     rare-token pass, shared by _candidate_pairs and dropped_token_report
     so the drops-observable audit can never drift from the real pass."""
     return (cores.select(
-        "core", F.explode(F.split("core", "_")).alias("tok"))
+        F.xxhash64("core").alias("cid"),
+        F.explode(F.split("core", "_")).alias("tok"))
         .filter(F.length("tok") > 0).distinct())
 
 
@@ -116,19 +105,31 @@ def _token_df(toks: DataFrame) -> DataFrame:
 
 def _block_keys(sh: DataFrame, bands: int, rows: int,
                 token_max_df: int) -> DataFrame:
-    """(core, band, key): LSH band keys ∪ rare-token backstop keys
+    """(cid, band, key): LSH band keys ∪ rare-token backstop keys
     (band = -1) — THE key set _candidate_pairs self-joins (and caps) on.
     blocking_report counts this same set, so every block kind the
     max_block cap can drop is auditable (review finding: token blocks
     above max_block were invisible to both reports when
-    token_max_df > max_block)."""
+    token_max_df > max_block).
+
+    Cores travel as `cid` = xxhash64(core) — 8-byte ids, not strings
+    (round 5): this 12x-the-input table crosses the cap window's
+    exchange, the self-join and the candidate distinct, so id rows cut
+    the shuffled bytes ~40% and replace string sort/hash comparisons
+    with longs. The verify joins resolve ids back to (core, sh, n)
+    through the pinned dimension. A 64-bit collision (~1e-7 odds at 4M
+    cores) merges two cores' block memberships: the verify still scores
+    REAL core pairs exactly (each id row joins back to its true cores),
+    so no false link is possible; the only effect is that a colliding
+    pair itself is not self-compared — recall epsilon far below the LSH
+    band miss probability."""
     lsh_keys = _band_keys(sh, bands, rows)
     toks = _core_tokens(sh)
     # no broadcast hint: the rare-token dim is token-vocabulary-sized —
     # unbounded at corpus scale — so AQE picks the join strategy
     rare = _token_df(toks).filter(F.col("df") <= token_max_df)
     tok_keys = (toks.join(rare, "tok")
-                .select("core", F.lit(-1).alias("band"),
+                .select("cid", F.lit(-1).alias("band"),
                         F.xxhash64("tok").alias("key")))
     return lsh_keys.unionByName(tok_keys)
 
@@ -136,8 +137,10 @@ def _block_keys(sh: DataFrame, bands: int, rows: int,
 def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
                      max_block: int,
                      token_max_df: int = DEFAULT_TOKEN_MAX_DF) -> DataFrame:
-    """Distinct candidate (a, b) core pairs, a < b, via LSH ∪ rare-token
-    blocks. `sh` is the cached (core, sh) shingle table.
+    """Distinct candidate (a, b) core-ID pairs (a < b by cid — see
+    _block_keys), via LSH ∪ rare-token blocks. `sh` is the cached
+    (core, sh) shingle table; callers resolve ids back to cores through
+    the dimension after scoring.
 
     The token pass is a recall BACKSTOP for the regime where a
     probabilistic LSH band can mathematically miss: short surface forms
@@ -165,8 +168,8 @@ def _candidate_pairs(sh: DataFrame, bands: int, rows: int,
         "blk_n", F.count("*").over(Window.partitionBy("band", "key")))
     kept = counted.filter(F.col("blk_n") <= max_block).drop("blk_n")
 
-    a = kept.select(F.col("band"), F.col("key"), F.col("core").alias("a"))
-    b = kept.select(F.col("band"), F.col("key"), F.col("core").alias("b"))
+    a = kept.select(F.col("band"), F.col("key"), F.col("cid").alias("a"))
+    b = kept.select(F.col("band"), F.col("key"), F.col("cid").alias("b"))
     return (a.join(b, ["band", "key"])
             .filter(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
@@ -239,6 +242,7 @@ def _core_sh_dim(cores: DataFrame) -> DataFrame:
     tiny vocabularies stay single-partition (stage-latency-optimal at
     the driver-bench scale)."""
     sh_dim = pin(cores.select("core").distinct()
+                 .withColumn("cid", F.xxhash64("core"))
                  .withColumn("sh", _hashed_sh("core"))
                  .withColumn("n", F.size("sh")))
     n_cores = sh_dim.count()
@@ -281,18 +285,23 @@ def _fuzzy_links(sh_dim: DataFrame, tau: float, bands: int, rows: int,
     # one cheap count against the eagerly-checkpointed dimension
     bcast = sh_dim.count() <= VERIFY_BROADCAST_MAX_CORES
     hint = F.broadcast if bcast else (lambda d: d)
-    a_sh = hint(sh_dim.select(F.col("core").alias("a"),
+    a_sh = hint(sh_dim.select(F.col("cid").alias("a"),
+                              F.col("core").alias("core_a"),
                               F.col("sh").alias("sh_a"),
                               F.col("n").alias("n_a")))
-    b_sh = hint(sh_dim.select(F.col("core").alias("b"),
+    b_sh = hint(sh_dim.select(F.col("cid").alias("b"),
+                              F.col("core").alias("core_b"),
                               F.col("sh").alias("sh_b"),
                               F.col("n").alias("n_b")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    # candidates were ordered by cid; the emitted pair is normalized to
+    # string order so the output contract (src < dst) is id-free
     return (cand.join(a_sh, "a").join(b_sh, "b")
             .withColumn("score", jac)
             .filter(F.col("score") >= tau)
-            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+            .select(F.least("core_a", "core_b").alias("src"),
+                    F.greatest("core_a", "core_b").alias("dst"),
                     "score"))
 
 
@@ -306,19 +315,30 @@ def _tfidf_shingle_links(sh_dim: DataFrame, tau: float, bands: int,
     Jaccard counts at full weight — the scorer the north star names."""
     cand = _candidate_pairs(sh_dim.select("core", "sh"), bands, rows,
                             max_block, token_max_df)
-    terms = sh_dim.select(F.col("core").alias("id"),
+    n_cores = sh_dim.count()
+    terms = sh_dim.select(F.col("cid").alias("id"),
                           F.explode("sh").alias("tok"))
-    ww = _weights_from_terms(terms, sh_dim.count(), max_df=2 ** 31 - 1)
+    ww = _weights_from_terms(terms, n_cores, max_df=2 ** 31 - 1)
     a = ww.select(F.col("id").alias("a"), "tok", F.col("w").alias("w_a"),
                   F.col("norm").alias("n_a"))
     b = ww.select(F.col("id").alias("b"), "tok", F.col("w").alias("w_b"),
                   F.col("norm").alias("n_b"))
+    hint = (F.broadcast if n_cores <= VERIFY_BROADCAST_MAX_CORES
+            else (lambda d: d))
+    a_core = hint(sh_dim.select(F.col("cid").alias("a"),
+                                F.col("core").alias("core_a")))
+    b_core = hint(sh_dim.select(F.col("cid").alias("b"),
+                                F.col("core").alias("core_b")))
     return (cand.join(a, "a").join(b, ["b", "tok"])
             .groupBy("a", "b")
             .agg((F.sum(F.col("w_a") * F.col("w_b"))
                   / (F.max("n_a") * F.max("n_b"))).alias("score"))
             .filter(F.col("score") >= tau)
-            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+            # resolve surviving id pairs back to strings, normalized to
+            # string order (same contract as the jaccard path)
+            .join(a_core, "a").join(b_core, "b")
+            .select(F.least("core_a", "core_b").alias("src"),
+                    F.greatest("core_a", "core_b").alias("dst"),
                     "score"))
 
 

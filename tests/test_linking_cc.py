@@ -224,8 +224,11 @@ def test_hot_token_blocks_excluded_but_alias_recall_kept(spark):
     # remain — measured 862 vs 3163 on this fixture
     assert uncapped.issuperset(capped)
     assert len(capped) < 0.4 * len(uncapped), (len(capped), len(uncapped))
-    # the rare-word alias family is fully covered by the token backstop
-    fam_ids = sorted(c for (c,) in fam)
+    # the rare-word alias family is fully covered by the token backstop;
+    # candidates carry 8-byte core ids (round 5), so expected pairs are
+    # computed through the pure-Python xxhash64 twin
+    from qse_spark.xxh import spark_xxhash64
+    fam_ids = sorted(spark_xxhash64(c) for (c,) in fam)
     for i in range(len(fam_ids)):
         for j in range(i + 1, len(fam_ids)):
             assert (fam_ids[i], fam_ids[j]) in capped

@@ -244,3 +244,50 @@ def test_cross_engine_shacl_mini_validator(spark, tmp_path):
     clean_mini = {t for t in shaclcheck.validate(
         ttl, rows, type_predicate=RDF_TYPE) if t[3] != "inList"}
     assert clean_spark == 0 and clean_mini == set()
+
+
+def test_cross_engine_shacl_mini_sh_or_and_pruning(spark, tmp_path):
+    """Second cross-engine case, on the module's synthetic corpus: at
+    (0.25, 1) property p keeps BOTH objType branches -> the emitted PS
+    carries an sh:or union and the mini-validator must apply per-VALUE
+    existential semantics; at (0.5, 1) the integer branch is pruned ->
+    e3's value becomes a valueType violation in BOTH engines, alongside
+    the ∃-semantics maxCount flag on q. Violation sets must be identical
+    at both thresholds."""
+    import glob
+
+    from qse_spark import shaclcheck
+    from qse_spark.shapes import pruned_shapes, write_ttl
+    from qse_spark.stats import shape_stats
+
+    # full-IRI copy of the module corpus: the TTL sink namespace-prefixes
+    # bare names (shapes._iri), so a TTL-interpreting validator can only
+    # match focus classes / paths that are real IRIs in the data — as
+    # they are in any real corpus (the module's bare-name TRIPLES stay
+    # for the relational-report tests, which never round-trip TTL)
+    NS = "http://shaclshapes.org/"
+    iri = {"A": f"{NS}A", "C": f"{NS}C", "p": f"{NS}p", "q": f"{NS}q"}
+    corpus = [(s, iri.get(p, p), iri.get(o, o) if k == "iri" else o, k)
+              for (s, p, o, k) in TRIPLES]
+    t = spark.createDataFrame(corpus, ["subject", "predicate", "object",
+                                       "obj_kind"])
+    stats = shape_stats(t).localCheckpoint()
+    for conf in (0.25, 0.5):
+        ns, ps = pruned_shapes(stats, conf, 1)
+        out = str(tmp_path / f"ttl_{conf}")
+        write_ttl(ns.coalesce(1), ps.coalesce(1), out)
+        ttl = "".join(open(p).read()
+                      for p in sorted(glob.glob(f"{out}/part-*")))
+        got_spark = {
+            (r["focus"], r["target_class"], r["property"], r["violation"],
+             r["obj_type"], int(r["cnt"]) if r["cnt"] is not None else None)
+            for r in validation_report(t, conf, 1, stats=stats).collect()
+            if r["property"] != "rdf:type"}
+        got_mini = {
+            row for row in shaclcheck.validate(
+                ttl, corpus, type_predicate="rdf:type")
+            if row[3] != "inList" and row[2] != "rdf:type"}
+        assert got_mini == got_spark, (conf, got_mini ^ got_spark)
+    # the 0.5 threshold must actually exercise both violation kinds
+    assert {v for (_, _, _, v, _, _) in got_spark} == {"maxCount",
+                                                       "valueType"}
